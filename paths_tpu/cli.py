@@ -1,0 +1,76 @@
+"""Command-line renderer.
+
+The batch-mode equivalent of the reference's app shell (src/main.rs:39-186):
+arg 1 = YAML scene (or the built-in stress scene when omitted, main.rs:43-50),
+renders progressively and writes a PNG instead of blitting to SDL.
+
+Usage:
+  python -m paths_tpu.cli [scene.yml] [-o out.png] [--spp N] [--size WxH]
+                          [--seed N] [--tile N] [--stress N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="paths-tpu renderer")
+    ap.add_argument("scene", nargs="?", default=None, help="YAML scene file")
+    ap.add_argument("-o", "--output", default="out.png")
+    ap.add_argument("--spp", type=int, default=16, help="samples per pixel")
+    ap.add_argument("--size", default=None, help="override WxH (e.g. 360x240)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tile", type=int, default=65536, help="pixels per wave")
+    ap.add_argument("--stress", type=int, default=500,
+                    help="stress-scene sphere count when no scene given")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from paths_tpu.scene.build import build_scene
+    from paths_tpu.scene.yaml_loader import load_scene_description
+    from paths_tpu.render import render_image, write_png
+    from paths_tpu import camera as C
+
+    t0 = time.time()
+    if args.scene:
+        sd = load_scene_description(args.scene)
+    else:
+        from paths_tpu.scene.stress import generate_stress_scene
+
+        print(f"No scene given; using {args.stress}-sphere stress scene")
+        sd = generate_stress_scene(args.stress)
+
+    static, scene, cam = build_scene(sd)
+    width, height = sd.camera.image_width, sd.camera.image_height
+    if args.size:
+        width, height = (int(v) for v in args.size.lower().split("x"))
+        cam = C.resize(cam, width, height)
+    print(
+        f"[{time.time()-t0:6.2f}s] scene built: {static.n_spheres} spheres, "
+        f"{static.n_tris} tris, {static.n_lights} lights"
+    )
+
+    img = render_image(
+        static, scene, cam, width, height,
+        spp=args.spp, seed=args.seed, tile_pixels=args.tile, progress=True,
+    )
+    elapsed = time.time() - t0
+    rays = width * height * args.spp
+    print(
+        f"[{elapsed:6.2f}s] rendered {width}x{height} @ {args.spp}spp "
+        f"({rays/elapsed/1e6:.2f} Mprimary-rays/s incl. compile)"
+    )
+    write_png(args.output, img)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,386 @@
+"""Wavefront path-tracing integrator.
+
+Reference: src/trace.rs:7-121 (unidirectional path tracer with next-event
+estimation and Russian roulette).  The reference recurses per ray on a CPU
+thread; here an entire wavefront of rays advances in lockstep under one
+``jax.jit``: fixed shapes, per-lane ``alive`` masks, and a ``lax.fori_loop``
+over <=11 bounces (trace.rs:14 caps ``loops > 10``).
+
+Semantics preserved exactly (see trace.rs line refs inline), with two
+deliberate robustness deviations, both documented:
+  - self-intersection is prevented by *excluding the originating primitive*
+    from traversal (exact for convex spheres / planar triangles) in addition
+    to the reference's normal*1e-4 origin offset (trace.rs:57,89) -- the
+    offset alone is insufficient once the radius-1e6 ground spheres are
+    traced in f32;
+  - point lights use the evidently intended geometry (see lights.py) since
+    the reference's point-light sampling is broken and unused.
+
+All randomness is a counter-based pure function of (pixel, sample, bounce,
+dim) -- see paths_tpu.sampling.hashing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from paths_tpu import lights as LT
+from paths_tpu import materials as M
+from paths_tpu import sky as SK
+from paths_tpu.geom import sphere as GS
+from paths_tpu.geom import triangle as GT
+from paths_tpu.math import vec
+from paths_tpu.sampling import hashing as H
+from paths_tpu.scene.types import SceneArrays, SceneStatic
+
+MAX_BOUNCES = 10  # trace.rs:14: `if loops > 10 break` -> 11 iterations
+RR_START = 2  # trace.rs:104
+SHADOW_EPS = 1e-4  # trace.rs:57,89
+BIG = jnp.float32(3.4e38)
+
+# Primitive kinds.
+KIND_NONE = 0
+KIND_SPHERE = 1
+KIND_TRI = 2
+
+_SPH_CHUNK = 128
+_TRI_CHUNK = 256
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_chunks(arrs, n: int, chunk: int):
+    """Pad leading dim to a multiple of chunk and reshape to
+    (n_chunks, chunk, ...)."""
+    npad = _ceil_to(max(n, 1), chunk)
+    out = []
+    for a in arrs:
+        pad = [(0, npad - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        a = jnp.pad(a, pad)
+        out.append(a.reshape((npad // chunk, chunk) + a.shape[1:]))
+    return out, npad
+
+
+def _scan_spheres(static: SceneStatic, scene: SceneArrays, o, d, excl_kind, excl_idx):
+    """Closest sphere hit via a chunked scan (memory-bounded brute force).
+    Returns (t_best [N], idx_best [N])."""
+    S = static.n_spheres
+    (centers, radii), npad = _pad_chunks([scene.sph_center, scene.sph_radius], S, _SPH_CHUNK)
+    n_chunks = npad // _SPH_CHUNK
+    gidx = jnp.arange(npad, dtype=jnp.int32).reshape(n_chunks, _SPH_CHUNK)
+
+    excl = (excl_kind == KIND_SPHERE)
+
+    def body(carry, xs):
+        c, r, gi = xs
+        t, hit = GS.intersect(o[:, None, :], d[:, None, :], c[None, :, :], r[None, :])
+        valid = (gi < S)[None, :]
+        not_excl = ~(excl[:, None] & (excl_idx[:, None] == gi[None, :]))
+        t = jnp.where(valid & not_excl, t, BIG)
+        tmin = jnp.min(t, axis=1)
+        amin = jnp.argmin(t, axis=1).astype(jnp.int32)
+        best_t, best_i = carry
+        better = tmin < best_t
+        return (
+            jnp.where(better, tmin, best_t),
+            jnp.where(better, gi[amin], best_i),
+        ), None
+
+    init = (jnp.full(o.shape[0], BIG), jnp.zeros(o.shape[0], jnp.int32))
+    (t_best, i_best), _ = lax.scan(body, init, (centers, radii, gidx))
+    return t_best, i_best
+
+
+def _scan_tris(static: SceneStatic, scene: SceneArrays, o, d, excl_kind, excl_idx):
+    """Closest triangle hit via a chunked scan (brute force; the BVH path in
+    paths_tpu.bvh.traverse replaces this for large meshes)."""
+    T = static.n_tris
+    (v0, v1, v2, n), npad = _pad_chunks(
+        [scene.tri_v0, scene.tri_v1, scene.tri_v2, scene.tri_n], T, _TRI_CHUNK
+    )
+    n_chunks = npad // _TRI_CHUNK
+    gidx = jnp.arange(npad, dtype=jnp.int32).reshape(n_chunks, _TRI_CHUNK)
+
+    excl = (excl_kind == KIND_TRI)
+
+    def body(carry, xs):
+        cv0, cv1, cv2, cn, gi = xs
+        t, hit, bx, by, bz, cos = GT.intersect(
+            o[:, None, :], d[:, None, :],
+            cv0[None], cv1[None], cv2[None], cn[None],
+        )
+        valid = (gi < T)[None, :]
+        not_excl = ~(excl[:, None] & (excl_idx[:, None] == gi[None, :]))
+        t = jnp.where(valid & not_excl, t, BIG)
+        tmin = jnp.min(t, axis=1)
+        amin = jnp.argmin(t, axis=1).astype(jnp.int32)
+        best_t, best_i = carry
+        better = tmin < best_t
+        return (
+            jnp.where(better, tmin, best_t),
+            jnp.where(better, gi[amin], best_i),
+        ), None
+
+    init = (jnp.full(o.shape[0], BIG), jnp.zeros(o.shape[0], jnp.int32))
+    (t_best, i_best), _ = lax.scan(body, init, (v0, v1, v2, n, gidx))
+    return t_best, i_best
+
+
+def intersect_brief(static, scene, o, d, excl_kind, excl_idx):
+    """Closest hit, identity only: (found, kind, idx, ent, t).
+    Used for shadow rays (trace.rs:61-66 only needs the occluder entity)."""
+    N = o.shape[0]
+    t = jnp.full(N, BIG)
+    kind = jnp.zeros(N, jnp.int32)
+    idx = jnp.zeros(N, jnp.int32)
+
+    if static.has_spheres:
+        ts, is_ = _scan_spheres(static, scene, o, d, excl_kind, excl_idx)
+        better = ts < t
+        t = jnp.where(better, ts, t)
+        kind = jnp.where(better, KIND_SPHERE, kind)
+        idx = jnp.where(better, is_, idx)
+    if static.has_tris:
+        if static.use_bvh and scene.bvh is not None:
+            from paths_tpu.bvh.traverse import closest_hit_bvh
+
+            tt, it = closest_hit_bvh(scene, o, d, excl_kind, excl_idx, t)
+        else:
+            tt, it = _scan_tris(static, scene, o, d, excl_kind, excl_idx)
+        better = tt < t
+        t = jnp.where(better, tt, t)
+        kind = jnp.where(better, KIND_TRI, kind)
+        idx = jnp.where(better, it, idx)
+
+    found = t < BIG
+    ent = jnp.zeros(N, jnp.int32)
+    if static.has_spheres:
+        ent = jnp.where(kind == KIND_SPHERE, scene.sph_ent[idx], ent)
+    if static.has_tris:
+        ent = jnp.where(kind == KIND_TRI, scene.tri_ent[idx], ent)
+    kind = jnp.where(found, kind, KIND_NONE)
+    return found, kind, idx, ent, t
+
+
+def intersect_full(static, scene, o, d, excl_kind, excl_idx):
+    """Closest hit with full shading data.
+
+    Returns dict(found, kind, idx, ent, t, location, normal, bary(3,),
+    vtx_colour(3,)).  Normal follows the reference: sphere normal outward
+    (geom.rs:232), triangle geometric normal backface-flipped
+    (geom.rs:298-300) unless the mesh uses smooth normals, in which case the
+    barycentric-interpolated (unnormalised!) vertex normal replaces it
+    (scene.rs:178-190, model.rs:142-156)."""
+    found, kind, idx, ent, t = intersect_brief(static, scene, o, d, excl_kind, excl_idx)
+    N = o.shape[0]
+    location = o + d * jnp.where(found, t, 0.0)[..., None]
+    normal = jnp.zeros_like(o).at[..., 1].set(1.0)
+    bary = jnp.zeros((N, 3))
+    vtx_colour = jnp.ones((N, 3))
+
+    if static.has_spheres:
+        c = scene.sph_center[idx]
+        loc_s, n_s = GS.surface(o, d, t, c)
+        sel = (kind == KIND_SPHERE)[..., None]
+        location = jnp.where(sel, loc_s, location)
+        normal = jnp.where(sel, n_s, normal)
+
+    if static.has_tris:
+        v0 = scene.tri_v0[idx]
+        v1 = scene.tri_v1[idx]
+        v2 = scene.tri_v2[idx]
+        n = scene.tri_n[idx]
+        # Recompute bary at the chosen triangle (cheaper than carrying it
+        # through the scan).
+        _, _, bx, by, bz, cos = GT.intersect(o, d, v0, v1, v2, n)
+        flip = jnp.where(cos > 0.0, -1.0, 1.0)[..., None]
+        geo_n = n * flip
+        smooth_n = (
+            scene.tri_vn0[idx] * bx[..., None]
+            + scene.tri_vn1[idx] * by[..., None]
+            + scene.tri_vn2[idx] * bz[..., None]
+        )
+        tri_normal = jnp.where(scene.tri_smooth[idx][..., None], smooth_n, geo_n)
+        vc = (
+            scene.tri_vc0[idx] * bx[..., None]
+            + scene.tri_vc1[idx] * by[..., None]
+            + scene.tri_vc2[idx] * bz[..., None]
+        )
+        sel = (kind == KIND_TRI)[..., None]
+        normal = jnp.where(sel, tri_normal, normal)
+        bary = jnp.where(sel, jnp.stack([bx, by, bz], -1), bary)
+        vtx_colour = jnp.where(sel, vc, vtx_colour)
+
+    return dict(
+        found=found, kind=kind, idx=idx, ent=ent, t=t,
+        location=location, normal=normal, bary=bary, vtx_colour=vtx_colour,
+    )
+
+
+def _gather_material(scene: SceneArrays, ent, kind, vtx_colour):
+    """Per-lane material record; vertex-albedo resolution per
+    material.rs:183-195 (only meaningful for triangle hits)."""
+    albedo = scene.mat_albedo[ent]
+    use_v = scene.mat_albedo_vertex[ent] & (kind == KIND_TRI)
+    albedo = jnp.where(use_v[..., None], vtx_colour, albedo)
+    return dict(
+        mtype=scene.mat_mtype[ent],
+        albedo=albedo,
+        emit=scene.mat_emit[ent],
+        r0=scene.mat_r0[ent],
+        metalness=scene.mat_metalness[ent],
+        roughness=scene.mat_roughness[ent],
+    )
+
+
+def _gather_light(scene: SceneArrays, li):
+    return dict(
+        ltype=scene.light_ltype[li],
+        position=scene.light_pos[li],
+        radius=scene.light_radius[li],
+        colour=scene.light_colour[li],
+        intensity=scene.light_intensity[li],
+        ent_id=scene.light_ent[li],
+    )
+
+
+def trace_rays(
+    static: SceneStatic,
+    scene: SceneArrays,
+    ray_o: jnp.ndarray,  # (N, 3)
+    ray_d: jnp.ndarray,  # (N, 3)
+    pixel_id: jnp.ndarray,  # (N,) uint32 -- RNG identity
+    sample_id: jnp.ndarray,  # (N,) uint32
+    seed,
+) -> jnp.ndarray:
+    """Estimate radiance along N rays.  Pure, jit-able, differentiable in
+    ``scene``'s continuous parameters.  Returns (N, 3)."""
+    N = ray_o.shape[0]
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+
+    def u(bounce, dim):
+        return H.uniform(
+            seed, pixel_id, sample_id,
+            bounce.astype(jnp.uint32) * jnp.uint32(H.DIMS_PER_BOUNCE) + jnp.uint32(dim),
+        )
+
+    def body(bounce, state):
+        (o, d, throughput, colour, alive, last_spec, excl_kind, excl_idx) = state
+
+        hit = intersect_full(static, scene, o, d, excl_kind, excl_idx)
+
+        # Miss -> skybox, evaluated at -direction (trace.rs:18-23).
+        sky_col = SK.ambient_light(static.sky_type, scene.sky, -d)
+        miss = alive & ~hit["found"]
+        colour = colour + jnp.where(miss[..., None], throughput * sky_col, 0.0)
+        alive = alive & hit["found"]
+
+        # Facing check (trace.rs:25-28): cos_in = d . -n must be > 0.
+        normal = hit["normal"]
+        cos_in = vec.dot(d, -normal)
+        alive = alive & (cos_in > 0.0)
+
+        # Direct light hit (trace.rs:30-41): accumulate only on specular
+        # previous bounce (NEE covers the rest); path ends either way.
+        is_light = scene.ent_is_light[hit["ent"]]
+        light_gain = alive & is_light & last_spec
+        colour = colour + jnp.where(
+            light_gain[..., None],
+            throughput * scene.ent_light_emission[hit["ent"]],
+            0.0,
+        )
+        alive = alive & ~is_light
+
+        mat = _gather_material(scene, hit["ent"], hit["kind"], hit["vtx_colour"])
+        location = hit["location"]
+        vec_out = -d
+
+        # ---- Next Event Estimation (trace.rs:52-81) ----
+        if static.n_lights > 0:
+            u_pick = u(bounce, H.DIM_LIGHT_PICK)
+            li = jnp.minimum(
+                (u_pick * static.n_lights).astype(jnp.int32), static.n_lights - 1
+            )
+            light = _gather_light(scene, li)
+            in_dir, inv_pdf, max_dist = LT.sample(
+                light, location, u(bounce, H.DIM_LIGHT_U), u(bounce, H.DIM_LIGHT_V)
+            )
+            shadow_dir = -in_dir
+            shadow_o = location + normal * SHADOW_EPS
+            s_found, _, _, s_ent, s_t = intersect_brief(
+                static, scene, shadow_o, shadow_dir, hit["kind"], hit["idx"]
+            )
+            is_point = light["ltype"] == LT.POINT
+            occluded = jnp.where(
+                is_point,
+                s_found & (s_t < max_dist),
+                s_found & (s_ent != light["ent_id"]),
+            )
+            cos_theta = jnp.maximum(0.0, vec.dot(normal, shadow_dir))
+            brdf = M.eval_brdf(mat, vec_out, -shadow_dir, normal)
+            direct = (
+                light["colour"]
+                * light["intensity"][..., None]
+                * brdf
+                * inv_pdf[..., None]
+            )
+            ok = alive & ~occluded & (cos_theta > 0.0)
+            colour = colour + jnp.where(ok[..., None], direct * throughput, 0.0)
+
+        # ---- BSDF sample & bounce (trace.rs:84-101) ----
+        new_dir, pdf, brdf, is_spec = M.sample(
+            mat, vec_out, normal,
+            u(bounce, H.DIM_LOBE), u(bounce, H.DIM_BSDF_U), u(bounce, H.DIM_BSDF_V),
+        )
+        pdf_safe = jnp.where(pdf == 0.0, 1.0, pdf)
+        attenuation = jnp.where(
+            (pdf == 0.0)[..., None], 0.0, brdf / pdf_safe[..., None]
+        )
+        new_throughput = throughput * attenuation
+        dead = vec.max_component(new_throughput) <= 0.0  # trace.rs:96-98
+
+        emit = M.emittance(mat)  # trace.rs:100-101 (post-attenuation T)
+        colour = colour + jnp.where(
+            (alive & ~dead)[..., None], emit * new_throughput, 0.0
+        )
+
+        # Russian roulette from bounce 2 (trace.rs:103-111).
+        survival = vec.max_component(new_throughput)
+        u_rr = u(bounce, H.DIM_RR)
+        rr_active = bounce >= RR_START
+        rr_kill = rr_active & (u_rr > survival)
+        survival_safe = jnp.where(survival == 0.0, 1.0, survival)
+        new_throughput = jnp.where(
+            (rr_active & ~rr_kill)[..., None],
+            new_throughput / survival_safe[..., None],
+            new_throughput,
+        )
+
+        step_alive = alive & ~dead & ~rr_kill
+        throughput = jnp.where(step_alive[..., None], new_throughput, throughput)
+        o = jnp.where(step_alive[..., None], location + normal * SHADOW_EPS, o)
+        d = jnp.where(step_alive[..., None], new_dir, d)
+        last_spec = jnp.where(step_alive, is_spec, last_spec)
+        excl_kind = jnp.where(step_alive, hit["kind"], excl_kind)
+        excl_idx = jnp.where(step_alive, hit["idx"], excl_idx)
+
+        return (o, d, throughput, colour, step_alive, last_spec, excl_kind, excl_idx)
+
+    state = (
+        ray_o,
+        ray_d,
+        jnp.ones((N, 3)),
+        jnp.zeros((N, 3)),
+        jnp.ones(N, bool),
+        jnp.ones(N, bool),  # trace.rs:11: first light hit counts
+        jnp.full(N, KIND_NONE, jnp.int32),
+        jnp.zeros(N, jnp.int32),
+    )
+    state = lax.fori_loop(0, MAX_BOUNCES + 1, body, state)
+    return state[3]

@@ -1,0 +1,206 @@
+"""Vectorised BSDF sampling and evaluation with material-id dispatch.
+
+Reference: src/material.rs.  The reference dispatches through a Rust enum per
+ray; here every lane of the wavefront carries a material id and per-lane
+parameters gathered from the scene's SoA entity table, and all lobes are
+evaluated branchlessly then selected -- the TPU-native replacement for enum
+dispatch.
+
+Material ids:
+  0 Lambertian   (material.rs:198-240)
+  1 Mirror       (material.rs:242-272)
+  2 Gloss        (material.rs:274-371)  -- Schlick lerp of Lambertian/Mirror
+  3 CookTorrance (material.rs:430-524)  -- Beckmann microfacet
+  4 Fresnel      (material.rs:373-428)  -- Fresnel blend of two sub-materials
+
+Semantics preserved exactly, including:
+  - the reference's non-unit cosine-hemisphere sample (geom.rs:10-24 uses
+    y = 1-u, then normalises) -- the *distribution* differs slightly from a
+    true cosine lobe but brdf/pdf still collapses to albedo;
+  - Mirror brdf == BLACK for NEE (material.rs:268-271);
+  - Gloss specular_chance = r if r0 > 0.5 else 0.5 (material.rs:307-310);
+  - Material::sample only implemented for Lambertian/Mirror/Gloss in the
+    reference (material.rs:81-88 panics otherwise); we additionally implement
+    CookTorrance sampling (a capability extension -- Beckmann importance
+    sample per material.rs:465-499) instead of crashing.
+
+A "material record" is a dict of per-lane arrays with keys:
+  mtype (i32), albedo (.,3), emit (.,3), r0, metalness, roughness
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from paths_tpu.math import vec
+
+LAMBERTIAN = 0
+MIRROR = 1
+GLOSS = 2
+COOK_TORRANCE = 3
+FRESNEL = 4
+
+_PI = 3.141592653589793
+_INV_PI = 1.0 / _PI
+
+
+def cosine_hemisphere_local(u, v):
+    """The reference's hemisphere sample (geom.rs:10-24): NOT unit length
+    before normalisation (y = 1-u), y is up."""
+    r = jnp.sqrt(u)
+    theta = 2.0 * _PI * v
+    return jnp.stack([r * jnp.cos(theta), 1.0 - u, r * jnp.sin(theta)], axis=-1)
+
+
+def sample_hemisphere_world(normal, u, v):
+    """Cosine-ish hemisphere sample about `normal`, normalised
+    (material.rs:224-231)."""
+    local = cosine_hemisphere_local(u, v)
+    i, j, k = vec.form_basis(normal)
+    return vec.normalize_safe(vec.switch_basis(local, i, j, k))
+
+
+def schlick(r0, cos_theta):
+    """Schlick Fresnel: r0 + (1-r0)(1-cos)^5 (material.rs:303-305)."""
+    m = 1.0 - cos_theta
+    m2 = m * m
+    return r0 + (1.0 - r0) * (m2 * m2 * m)
+
+
+def _beckmann_d(roughness, cos_h):
+    """Beckmann NDF as written in material.rs:437-447 (via alpha = acos)."""
+    m2 = roughness * roughness
+    c = jnp.clip(cos_h, -1.0, 1.0)
+    c2 = jnp.maximum(c * c, 1e-12)
+    tan2 = (1.0 - c2) / c2
+    e = jnp.exp(-tan2 / jnp.maximum(m2, 1e-12))
+    d0 = e / jnp.maximum(_PI * m2 * c2 * c2, 1e-20)
+    return jnp.maximum(0.0, d0 * c)
+
+
+def eval_lambertian_brdf(albedo, vec_in, normal):
+    """material.rs:237-239: albedo * (n . -vec_in) / pi.  vec_in points
+    *into* the surface (reference convention)."""
+    cos = vec.dot(normal, -vec_in)
+    return albedo * (cos * _INV_PI)[..., None]
+
+
+def eval_cook_torrance_brdf(albedo, roughness, vec_out, vec_in, normal):
+    """material.rs:505-523."""
+    h = vec.normalize_safe(vec_out - vec_in)
+    d = _beckmann_d(roughness, vec.dot(normal, h))
+    ndl = vec.dot(normal, -vec_in)
+    vdh = vec.dot(vec_out, h)
+    ndh = vec.dot(normal, h)
+    ndv = vec.dot(normal, vec_out)
+    vdh_safe = jnp.where(vdh == 0.0, 1e-12, vdh)
+    g = jnp.clip(
+        jnp.minimum((2.0 * ndh * ndv) / vdh_safe, (2.0 * ndh * ndl) / vdh_safe),
+        0.0,
+        1.0,
+    )
+    denom = 4.0 * ndv * ndl
+    denom_safe = jnp.where(denom == 0.0, 1e-12, denom)
+    return albedo * ((d * g) / denom_safe)[..., None]
+
+
+def eval_brdf(mat, vec_out, vec_in, normal):
+    """Material::brdf dispatch (material.rs:120-128).  vec_out points away
+    from the surface toward the previous vertex; vec_in points into the
+    surface from the light.  Returns (..., 3)."""
+    lam = eval_lambertian_brdf(mat["albedo"], vec_in, normal)
+    # Mirror: BLACK (material.rs:268-271).
+    mirror = jnp.zeros_like(lam)
+    # Gloss (material.rs:360-370): diffuse*(1-metal)*(1-r); specular term is
+    # the mirror brdf == BLACK.
+    r = schlick(mat["r0"], vec.dot(vec_out, normal))
+    gloss = lam * ((1.0 - mat["metalness"]) * (1.0 - r))[..., None]
+    ct = eval_cook_torrance_brdf(
+        mat["albedo"], mat["roughness"], vec_out, vec_in, normal
+    )
+    mt = mat["mtype"][..., None]
+    out = jnp.where(mt == LAMBERTIAN, lam, 0.0)
+    out = jnp.where(mt == MIRROR, mirror, out)
+    out = jnp.where(mt == GLOSS, gloss, out)
+    out = jnp.where(mt == COOK_TORRANCE, ct, out)
+    return out
+
+
+def emittance(mat):
+    """Material::emittance (material.rs:110-118): only Lambertian emits."""
+    return jnp.where(mat["mtype"][..., None] == LAMBERTIAN, mat["emit"], 0.0)
+
+
+def sample(mat, vec_out, normal, u_lobe, u1, u2):
+    """Material::sample dispatch (material.rs:81-88).
+
+    vec_out: unit vector from the surface toward the previous path vertex.
+    u_lobe, u1, u2: per-lane uniforms.
+
+    Returns (direction, pdf, brdf, is_specular):
+      direction: next bounce direction (unit),
+      pdf / brdf follow the reference exactly so attenuation brdf/pdf
+      reproduces trace.rs:93.
+    """
+    n_dot = vec.dot(normal, vec_out)
+
+    # --- Lambertian sample (material.rs:211-216) ---
+    diff_dir = sample_hemisphere_world(normal, u1, u2)
+    diff_cos = vec.dot(normal, diff_dir)
+    diff_pdf = diff_cos * _INV_PI  # weight_pdf(.., -dir, n) = n.dir/pi
+    diff_brdf = mat["albedo"] * (diff_cos * _INV_PI)[..., None]
+
+    # --- Mirror sample (material.rs:250-252) ---
+    mirr_dir = vec.reflect(vec_out, normal)
+    mirr_pdf = jnp.ones_like(diff_pdf)
+    mirr_brdf = jnp.ones_like(diff_brdf)
+
+    # --- Gloss sample (material.rs:302-325) ---
+    r = schlick(mat["r0"], n_dot)
+    spec_chance = jnp.where(mat["r0"] > 0.5, r, 0.5)
+    gloss_is_spec = u_lobe <= spec_chance
+    metal = mat["metalness"][..., None]
+    gloss_spec_brdf = (mat["albedo"] * metal + (1.0 - metal)) * r[..., None]
+    gloss_diff_brdf = diff_brdf * ((1.0 - metal) * (1.0 - r[..., None]))
+    gloss_dir = jnp.where(gloss_is_spec[..., None], mirr_dir, diff_dir)
+    gloss_pdf = jnp.where(
+        gloss_is_spec, spec_chance, diff_pdf * (1.0 - spec_chance)
+    )
+    gloss_brdf = jnp.where(gloss_is_spec[..., None], gloss_spec_brdf, gloss_diff_brdf)
+
+    # --- CookTorrance sample (extension; material.rs:465-499 semantics) ---
+    a = mat["roughness"]
+    # theta = atan(sqrt(-a^2 ln(1-u))) -> cos/sin via identities.
+    t2 = -(a * a) * jnp.log(jnp.maximum(1.0 - u1, 1e-12))
+    ct_cos = 1.0 / jnp.sqrt(1.0 + t2)
+    ct_sin = jnp.sqrt(jnp.maximum(1.0 - ct_cos * ct_cos, 0.0))
+    phi = 2.0 * _PI * u2
+    facet_local = jnp.stack(
+        [ct_sin * jnp.cos(phi), ct_cos, ct_sin * jnp.sin(phi)], axis=-1
+    )
+    i, j, k = vec.form_basis(normal)
+    facet_world = vec.normalize_safe(vec.switch_basis(facet_local, i, j, k))
+    ct_dir = vec.reflect(vec_out, facet_world)
+    # weight_pdf (material.rs:451-462): d * |n.h| / (4 |v.h|)
+    h = vec.normalize_safe(vec_out - (-ct_dir))
+    ct_d = _beckmann_d(a, vec.dot(normal, h))
+    ct_pdf = ct_d * jnp.abs(vec.dot(normal, h)) / jnp.maximum(
+        4.0 * jnp.abs(vec.dot(vec_out, h)), 1e-12
+    )
+    ct_brdf = eval_cook_torrance_brdf(mat["albedo"], a, vec_out, -ct_dir, normal)
+
+    mt = mat["mtype"]
+    mt3 = mt[..., None]
+    direction = jnp.where(mt3 == LAMBERTIAN, diff_dir, gloss_dir)
+    direction = jnp.where(mt3 == MIRROR, mirr_dir, direction)
+    direction = jnp.where(mt3 == COOK_TORRANCE, ct_dir, direction)
+    pdf = jnp.where(mt == LAMBERTIAN, diff_pdf, gloss_pdf)
+    pdf = jnp.where(mt == MIRROR, mirr_pdf, pdf)
+    pdf = jnp.where(mt == COOK_TORRANCE, ct_pdf, pdf)
+    brdf = jnp.where(mt3 == LAMBERTIAN, diff_brdf, gloss_brdf)
+    brdf = jnp.where(mt3 == MIRROR, mirr_brdf, brdf)
+    brdf = jnp.where(mt3 == COOK_TORRANCE, ct_brdf, brdf)
+    is_specular = jnp.where(
+        mt == MIRROR, True, jnp.where(mt == GLOSS, gloss_is_spec, False)
+    )
+    return direction, pdf, brdf, is_specular

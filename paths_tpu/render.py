@@ -1,0 +1,142 @@
+"""Frame rendering: sample waves, progressive estimator, image output.
+
+TPU-native replacement for the reference's worker/renderer/pixels trio
+(src/worker.rs, src/renderer.rs, src/pixels.rs): instead of a thread pool
+pulling pixel-column requests from a channel, a *sample wave* -- one CMJ
+sample for every pixel of a tile -- is a single jitted call, and progressive
+refinement is repeated waves accumulated into a running-mean estimator
+(pixels.rs:6-31).
+
+Sampling structure mirrors worker.rs:68-86: each (pixel, sample) draws a
+sensor sample from a CMJ Square pattern and a lens sample from a CMJ Disk
+pattern; unlike the reference (which shares one pattern across a column with
+a random seed per request, worker.rs:68-71), patterns are seeded per-pixel so
+every pixel gets a full stratified m x n pattern -- strictly better
+stratification with the same per-sample distribution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from paths_tpu import camera as C
+from paths_tpu import integrator as I
+from paths_tpu.math.colour import to_bytes_np
+from paths_tpu.sampling import cmj
+from paths_tpu.sampling import hashing as H
+
+# Per-pixel CMJ pattern dims.  CMJ stratification only covers the domain
+# uniformly across a *whole* m x n pattern, so patterns are kept small (the
+# reference uses 5x5 per request, worker.rs:68-71 / renderer.rs:174-178) and
+# re-seeded per (pixel, batch of PAT_M*PAT_N samples).
+PAT_M = 4
+PAT_N = 4
+
+_SQUARE_TAG = 0x5153
+_DISK_TAG = 0xD15C
+
+
+def render_wave(
+    static,
+    scene,
+    cam: C.Camera,
+    px: jnp.ndarray,  # (N,) int32 pixel x
+    py: jnp.ndarray,  # (N,) int32 pixel y
+    pixel_id: jnp.ndarray,  # (N,) uint32
+    sample_id: jnp.ndarray,  # (N,) uint32
+    seed,
+) -> jnp.ndarray:
+    """Radiance estimates for one sample of N pixels: (N, 3)."""
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    s = sample_id % jnp.uint32(PAT_M * PAT_N)
+    batch = sample_id // jnp.uint32(PAT_M * PAT_N)
+    p_sq = H.hash_u32(seed, pixel_id, batch, _SQUARE_TAG)
+    p_dk = H.hash_u32(seed, pixel_id, batch, _DISK_TAG)
+    sq = cmj.cmj_square(s, PAT_M, PAT_N, p_sq)
+    dk = cmj.cmj_disk(s, PAT_M, PAT_N, p_dk)
+    o, d, w = C.get_rays(cam, px, py, sq, dk)
+    col = I.trace_rays(static, scene, o, d, pixel_id, sample_id, seed)
+    return col * w[..., None]  # worker.rs:77: sample = trace * weight
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _render_wave_jit(static, scene, cam, px, py, pixel_id, sample_id, seed):
+    return render_wave(static, scene, cam, px, py, pixel_id, sample_id, seed)
+
+
+class Estimator:
+    """Per-pixel running mean via sum + count (pixels.rs:6-31)."""
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self.sum = np.zeros((height, width, 3), np.float64)
+        self.count = np.zeros((height, width), np.int64)
+
+    def update(self, py, px, colours):
+        np.add.at(self.sum, (py, px), np.asarray(colours, np.float64))
+        np.add.at(self.count, (py, px), 1)
+
+    def mean(self) -> np.ndarray:
+        c = np.maximum(self.count, 1)[..., None]
+        return self.sum / c
+
+    def reset(self):
+        self.sum[:] = 0
+        self.count[:] = 0
+
+    def to_bytes(self) -> np.ndarray:
+        return to_bytes_np(self.mean())
+
+
+def render_image(
+    static,
+    scene,
+    cam: C.Camera,
+    width: int,
+    height: int,
+    spp: int = 16,
+    seed: int = 0,
+    tile_pixels: int = 65536,
+    progress: bool = False,
+) -> np.ndarray:
+    """Render a full frame at `spp` samples per pixel.  Returns (H, W, 3)
+    linear-RGB float64 means."""
+    est = Estimator(width, height)
+    n_pix = width * height
+    pix = np.arange(n_pix, dtype=np.uint32)
+    px_all = (pix % width).astype(np.int32)
+    py_all = (pix // width).astype(np.int32)
+
+    tile = min(tile_pixels, n_pix)
+    for start in range(0, n_pix, tile):
+        end = min(start + tile, n_pix)
+        n = end - start
+        # Pad to the tile size so every tile reuses one compiled program.
+        pad = tile - n
+        sl = slice(start, end)
+        px = np.pad(px_all[sl], (0, pad))
+        py = np.pad(py_all[sl], (0, pad))
+        pid = np.pad(pix[sl], (0, pad))
+        px_j = jnp.asarray(px)
+        py_j = jnp.asarray(py)
+        pid_j = jnp.asarray(pid)
+        for s in range(spp):
+            sid = jnp.full(tile, s, jnp.uint32)
+            col = _render_wave_jit(static, scene, cam, px_j, py_j, pid_j, sid, seed)
+            col = np.asarray(col)[:n]
+            est.update(py_all[sl], px_all[sl], col)
+        if progress:
+            print(f"[render] pixels {end}/{n_pix}")
+    return est.mean()
+
+
+def write_png(path: str, linear_rgb: np.ndarray):
+    """Gamma-encode and write a PNG (colour.rs:30-36 + SDL blit equivalent)."""
+    from PIL import Image
+
+    Image.fromarray(to_bytes_np(linear_rgb), "RGB").save(path)
