@@ -1,0 +1,86 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Metric: rays/sec/chip, where a "ray" is a pixel-sample -- the same counting
+the reference prints at runtime (renderer.rs:101 counts one ray per sample
+delivered, main.rs:107-112 prints rays/s).  Each sample additionally traces
+up to 11 bounces + shadow rays internally, identical to the reference.
+
+vs_baseline compares against the ESTIMATED reference CPU anchor in
+BASELINE.md (the Rust reference cannot be built here -- no cargo in the
+image), currently 2.0e6 samples/s for a 4-thread CPU run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_RAYS_PER_SEC = 2.0e6  # estimated CPU anchor, see BASELINE.md
+
+
+def bench_scene(scene_path: str, spp: int, tile: int = 345600):
+    import numpy as np
+    import jax.numpy as jnp
+    from paths_tpu.scene.yaml_loader import load_scene_description
+    from paths_tpu.scene.build import build_scene
+    from paths_tpu.render import _render_samples_jit
+
+    sd = load_scene_description(scene_path)
+    static, scene, cam = build_scene(sd)
+    W, H = sd.camera.image_width, sd.camera.image_height
+    n_pix = W * H
+    tile = min(tile, n_pix)
+
+    pix = np.arange(tile, dtype=np.uint32)
+    px = jnp.asarray((pix % W).astype(np.int32))
+    py = jnp.asarray((pix // W).astype(np.int32))
+    pid = jnp.asarray(pix)
+
+    # Warmup / compile.
+    _render_samples_jit(static, scene, cam, px, py, pid, jnp.uint32(0), spp, 0
+                        ).block_until_ready()
+
+    t0 = time.time()
+    reps = 3
+    for r in range(reps):
+        _render_samples_jit(
+            static, scene, cam, px, py, pid, jnp.uint32((r + 1) * spp), spp, 0
+        ).block_until_ready()
+    dt = (time.time() - t0) / reps
+    rays = tile * spp
+    return rays / dt
+
+
+def main():
+    try:
+        rays_per_sec = bench_scene(
+            "/root/reference/scenes/spheres_on_plane.yml", spp=16
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "rays/sec/chip (spheres_on_plane, 720x480, 16spp)",
+                    "value": round(rays_per_sec, 1),
+                    "unit": "rays/s",
+                    "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                }
+            )
+        )
+    except Exception as e:  # never crash the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "rays/sec/chip (spheres_on_plane)",
+                    "value": 0,
+                    "unit": "rays/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:200],
+                }
+            )
+        )
+        sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

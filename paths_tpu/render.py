@@ -68,6 +68,28 @@ def _render_wave_jit(static, scene, cam, px, py, pixel_id, sample_id, seed):
     return render_wave(static, scene, cam, px, py, pixel_id, sample_id, seed)
 
 
+def render_samples(
+    static, scene, cam, px, py, pixel_id, sample_start, n_samples: int, seed
+):
+    """Sum of `n_samples` consecutive radiance samples per pixel lane, looped
+    on-device (one dispatch instead of n_samples)."""
+    import jax.lax as lax
+
+    def body(i, acc):
+        sid = (sample_start + i).astype(jnp.uint32) * jnp.ones_like(pixel_id)
+        return acc + render_wave(static, scene, cam, px, py, pixel_id, sid, seed)
+
+    acc = jnp.zeros((px.shape[0], 3))
+    return lax.fori_loop(0, n_samples, body, acc)
+
+
+@partial(jax.jit, static_argnums=(0, 7))
+def _render_samples_jit(static, scene, cam, px, py, pixel_id, sample_start, n_samples, seed):
+    return render_samples(
+        static, scene, cam, px, py, pixel_id, sample_start, n_samples, seed
+    )
+
+
 class Estimator:
     """Per-pixel running mean via sum + count (pixels.rs:6-31)."""
 
@@ -113,23 +135,28 @@ def render_image(
     py_all = (pix // width).astype(np.int32)
 
     tile = min(tile_pixels, n_pix)
+    # Batch samples on-device in groups to bound per-dispatch latency while
+    # amortising dispatch overhead.
+    sample_batch = min(spp, 8)
     for start in range(0, n_pix, tile):
         end = min(start + tile, n_pix)
         n = end - start
         # Pad to the tile size so every tile reuses one compiled program.
         pad = tile - n
         sl = slice(start, end)
-        px = np.pad(px_all[sl], (0, pad))
-        py = np.pad(py_all[sl], (0, pad))
-        pid = np.pad(pix[sl], (0, pad))
-        px_j = jnp.asarray(px)
-        py_j = jnp.asarray(py)
-        pid_j = jnp.asarray(pid)
-        for s in range(spp):
-            sid = jnp.full(tile, s, jnp.uint32)
-            col = _render_wave_jit(static, scene, cam, px_j, py_j, pid_j, sid, seed)
+        px_j = jnp.asarray(np.pad(px_all[sl], (0, pad)))
+        py_j = jnp.asarray(np.pad(py_all[sl], (0, pad)))
+        pid_j = jnp.asarray(np.pad(pix[sl], (0, pad)))
+        s = 0
+        while s < spp:
+            k = min(sample_batch, spp - s)
+            col = _render_samples_jit(
+                static, scene, cam, px_j, py_j, pid_j, jnp.uint32(s), k, seed
+            )
             col = np.asarray(col)[:n]
-            est.update(py_all[sl], px_all[sl], col)
+            est.sum[py_all[sl], px_all[sl]] += col
+            est.count[py_all[sl], px_all[sl]] += k
+            s += k
         if progress:
             print(f"[render] pixels {end}/{n_pix}")
     return est.mean()
