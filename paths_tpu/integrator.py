@@ -271,6 +271,13 @@ def trace_rays(
         )
 
     def body(bounce, state):
+        # Whole-wave early out: once every lane is dead (common from bounce
+        # ~3 on), skip the remaining bounce iterations entirely.  The
+        # predicate is a scalar so lax.cond stays jit-able under SPMD.
+        alive = state[4]
+        return lax.cond(jnp.any(alive), lambda s: _step(bounce, s), lambda s: s, state)
+
+    def _step(bounce, state):
         (o, d, throughput, colour, alive, last_spec, excl_kind, excl_idx) = state
 
         hit = intersect_full(static, scene, o, d, excl_kind, excl_idx)

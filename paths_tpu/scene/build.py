@@ -62,8 +62,11 @@ def _material_row(m: D.MaterialD, model_diffuse=None):
     raise ValueError(f"Unknown material kind {kind}")
 
 
-def build_scene(sd: D.SceneDescription, search_dirs=None):
-    """Returns (static_cfg, scene_arrays, camera)."""
+def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 32768):
+    """Returns (static_cfg, scene_arrays, camera).
+
+    bvh_threshold: triangle count above which the skip-link BVH replaces the
+    streaming brute-force intersector (see comment at the build site)."""
     if search_dirs is None:
         search_dirs = [".", sd.base_dir]
         # Scene YAMLs reference assets CWD-relative ("./scenes/objects/..");
@@ -192,8 +195,34 @@ def build_scene(sd: D.SceneDescription, search_dirs=None):
     else:
         sphc = np.zeros((1, 3)); sphr = np.zeros(1); sphe = np.zeros(1, np.int64)
 
+    use_bvh = False
+    bvh_arrays = None
     if tri_chunks:
         cat = {k: np.concatenate([c[k] for c in tri_chunks]) for k in tri_chunks[0]}
+        # TPU measurement (teapot, 86k-ray wave): streaming brute force beats
+        # gather-driven BVH traversal up to a few 10k triangles (0.21s vs
+        # 1.58s at 6.3k tris) -- the VPU prefers streams over divergent
+        # gathers.  The BVH takes over where O(N*T) becomes untenable.
+        if len(cat["v0"]) > bvh_threshold:
+            # Build the skip-link BVH and reorder triangles to its layout so
+            # leaf primitive ranges are contiguous (scene.rs:166-168's single
+            # global BVH, TPU-flattened).
+            from paths_tpu.bvh.build import build_bvh
+            from paths_tpu.scene.types import BvhArrays
+
+            tri_min = np.minimum(np.minimum(cat["v0"], cat["v1"]), cat["v2"])
+            tri_max = np.maximum(np.maximum(cat["v0"], cat["v1"]), cat["v2"])
+            flat = build_bvh(tri_min, tri_max)
+            cat = {k: v[flat.order] for k, v in cat.items()}
+            bvh_arrays = BvhArrays(
+                node_min=jnp.asarray(flat.node_min),
+                node_max=jnp.asarray(flat.node_max),
+                hit_link=jnp.asarray(flat.hit_link),
+                miss_link=jnp.asarray(flat.miss_link),
+                prim_start=jnp.asarray(flat.prim_start),
+                prim_count=jnp.asarray(flat.prim_count),
+            )
+            use_bvh = True
     else:
         z = np.zeros((1, 3))
         cat = dict(v0=z, v1=z, v2=z, n=z, vn0=z, vn1=z, vn2=z,
@@ -254,7 +283,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None):
         light_ltype=lt, light_pos=f32(lp), light_radius=f32(lr),
         light_colour=f32(lc), light_intensity=f32(li_arr), light_ent=i32(le),
         sky=sky_arr,
-        bvh=None,
+        bvh=bvh_arrays,
     )
 
     static = SceneStatic(
@@ -263,7 +292,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None):
         n_lights=n_lights,
         n_entities=n_entities,
         sky_type=sky_type,
-        use_bvh=False,
+        use_bvh=use_bvh,
     )
 
     cam = make_camera(
