@@ -50,8 +50,31 @@ class _Node:
         self.right = None
 
 
-def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, leaf_size: int = LEAF_SIZE) -> FlatBvh:
-    """tri_min/tri_max: (T, 3) per-triangle AABBs (f64 ok)."""
+def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, leaf_size: int = LEAF_SIZE,
+              use_native: bool = True) -> FlatBvh:
+    """tri_min/tri_max: (T, 3) per-triangle AABBs (f64 ok).
+
+    Dispatches to the C++ builder (paths_tpu/native/bvh_builder.cc) when the
+    shared library is available -- same binned-SAH algorithm and identical
+    flattened skip-link output, ~2 orders of magnitude faster on large
+    meshes; falls back to this pure-Python implementation otherwise."""
+    if use_native and len(tri_min) > 512:
+        from paths_tpu import native
+
+        out = native.build_bvh_native(tri_min, tri_max, leaf_size)
+        if out is not None:
+            (node_min, node_max, hit_link, miss_link, prim_start,
+             prim_count, order, n_nodes, depth) = out
+            return FlatBvh(
+                node_min=node_min, node_max=node_max,
+                hit_link=hit_link, miss_link=miss_link,
+                prim_start=prim_start, prim_count=prim_count,
+                order=order, n_nodes=n_nodes, depth=depth,
+            )
+    return _build_bvh_py(tri_min, tri_max, leaf_size)
+
+
+def _build_bvh_py(tri_min: np.ndarray, tri_max: np.ndarray, leaf_size: int = LEAF_SIZE) -> FlatBvh:
     T = len(tri_min)
     centers = (tri_min + tri_max) * 0.5
     order = np.arange(T)

@@ -67,10 +67,27 @@ def _pad_chunks(arrs, n: int, chunk: int):
     return out, npad
 
 
+# Below this primitive count, streams are unrolled per primitive: each test
+# is pure (N,)-shaped VPU math with the ray dim on the 128-lane axis -- no
+# (N, chunk) intermediates and no padding waste (a 6-sphere scene padded to a
+# 128-wide chunk wastes 21x the flops).
+_UNROLL_MAX = 64
+
+
 def _scan_spheres(static: SceneStatic, scene: SceneArrays, o, d, excl_kind, excl_idx):
     """Closest sphere hit via a chunked scan (memory-bounded brute force).
     Returns (t_best [N], idx_best [N])."""
     S = static.n_spheres
+    if S <= _UNROLL_MAX:
+        excl = excl_kind == KIND_SPHERE
+        t_best = jnp.full(o.shape[0], BIG)
+        i_best = jnp.zeros(o.shape[0], jnp.int32)
+        for s in range(S):
+            t, hit = GS.intersect(o, d, scene.sph_center[s], scene.sph_radius[s])
+            ok = hit & ~(excl & (excl_idx == s)) & (t < t_best)
+            t_best = jnp.where(ok, t, t_best)
+            i_best = jnp.where(ok, jnp.int32(s), i_best)
+        return t_best, i_best
     (centers, radii), npad = _pad_chunks([scene.sph_center, scene.sph_radius], S, _SPH_CHUNK)
     n_chunks = npad // _SPH_CHUNK
     gidx = jnp.arange(npad, dtype=jnp.int32).reshape(n_chunks, _SPH_CHUNK)
@@ -101,6 +118,18 @@ def _scan_tris(static: SceneStatic, scene: SceneArrays, o, d, excl_kind, excl_id
     """Closest triangle hit via a chunked scan (brute force; the BVH path in
     paths_tpu.bvh.traverse replaces this for large meshes)."""
     T = static.n_tris
+    if T <= _UNROLL_MAX:
+        excl = excl_kind == KIND_TRI
+        t_best = jnp.full(o.shape[0], BIG)
+        i_best = jnp.zeros(o.shape[0], jnp.int32)
+        for s in range(T):
+            t, hit, *_ = GT.intersect(
+                o, d, scene.tri_v0[s], scene.tri_v1[s], scene.tri_v2[s], scene.tri_n[s]
+            )
+            ok = hit & ~(excl & (excl_idx == s)) & (t < t_best)
+            t_best = jnp.where(ok, t, t_best)
+            i_best = jnp.where(ok, jnp.int32(s), i_best)
+        return t_best, i_best
     (v0, v1, v2, n), npad = _pad_chunks(
         [scene.tri_v0, scene.tri_v1, scene.tri_v2, scene.tri_n], T, _TRI_CHUNK
     )
@@ -223,13 +252,15 @@ def intersect_full(static, scene, o, d, excl_kind, excl_idx):
     )
 
 
-def _gather_material(scene: SceneArrays, ent, kind, vtx_colour):
+def _gather_material(static: SceneStatic, scene: SceneArrays, ent, kind, vtx_colour):
     """Per-lane material record; vertex-albedo resolution per
-    material.rs:183-195 (only meaningful for triangle hits)."""
+    material.rs:183-195 (only meaningful for triangle hits).  Fresnel
+    sub-material columns are gathered only when the scene has a Fresnel
+    material, so the common case pays for exactly one BSDF dispatch."""
     albedo = scene.mat_albedo[ent]
     use_v = scene.mat_albedo_vertex[ent] & (kind == KIND_TRI)
     albedo = jnp.where(use_v[..., None], vtx_colour, albedo)
-    return dict(
+    rec = dict(
         mtype=scene.mat_mtype[ent],
         albedo=albedo,
         emit=scene.mat_emit[ent],
@@ -237,6 +268,17 @@ def _gather_material(scene: SceneArrays, ent, kind, vtx_colour):
         metalness=scene.mat_metalness[ent],
         roughness=scene.mat_roughness[ent],
     )
+    if static.has_fresnel:
+        rec.update(
+            fd_mtype=scene.mat_fd_mtype[ent],
+            fs_mtype=scene.mat_fs_mtype[ent],
+            fs_albedo=scene.mat_fs_albedo[ent],
+            fs_r0=scene.mat_fs_r0[ent],
+            fs_metalness=scene.mat_fs_metalness[ent],
+            fs_roughness=scene.mat_fs_roughness[ent],
+            fresnel_r0=scene.mat_fresnel_r0[ent],
+        )
+    return rec
 
 
 def _gather_light(scene: SceneArrays, li):
@@ -304,7 +346,7 @@ def trace_rays(
         )
         alive = alive & ~is_light
 
-        mat = _gather_material(scene, hit["ent"], hit["kind"], hit["vtx_colour"])
+        mat = _gather_material(static, scene, hit["ent"], hit["kind"], hit["vtx_colour"])
         location = hit["location"]
         vec_out = -d
 
@@ -389,5 +431,5 @@ def trace_rays(
         jnp.full(N, KIND_NONE, jnp.int32),
         jnp.zeros(N, jnp.int32),
     )
-    state = lax.fori_loop(0, MAX_BOUNCES + 1, body, state)
+    state = lax.fori_loop(0, static.max_bounces + 1, body, state)
     return state[3]

@@ -104,21 +104,19 @@ def eval_cook_torrance_brdf(albedo, roughness, vec_out, vec_in, normal):
     return albedo * ((d * g) / denom_safe)[..., None]
 
 
-def eval_brdf(mat, vec_out, vec_in, normal):
-    """Material::brdf dispatch (material.rs:120-128).  vec_out points away
-    from the surface toward the previous vertex; vec_in points into the
-    surface from the light.  Returns (..., 3)."""
-    lam = eval_lambertian_brdf(mat["albedo"], vec_in, normal)
+def _basic_brdf(mtype, albedo, r0, metalness, roughness, vec_out, vec_in, normal):
+    """BasicMaterial::brdf dispatch (material.rs:120-128) over the four basic
+    lobes.  vec_out points away from the surface toward the previous vertex;
+    vec_in points into the surface from the light.  Returns (..., 3)."""
+    lam = eval_lambertian_brdf(albedo, vec_in, normal)
     # Mirror: BLACK (material.rs:268-271).
     mirror = jnp.zeros_like(lam)
     # Gloss (material.rs:360-370): diffuse*(1-metal)*(1-r); specular term is
     # the mirror brdf == BLACK.
-    r = schlick(mat["r0"], vec.dot(vec_out, normal))
-    gloss = lam * ((1.0 - mat["metalness"]) * (1.0 - r))[..., None]
-    ct = eval_cook_torrance_brdf(
-        mat["albedo"], mat["roughness"], vec_out, vec_in, normal
-    )
-    mt = mat["mtype"][..., None]
+    r = schlick(r0, vec.dot(vec_out, normal))
+    gloss = lam * ((1.0 - metalness) * (1.0 - r))[..., None]
+    ct = eval_cook_torrance_brdf(albedo, roughness, vec_out, vec_in, normal)
+    mt = mtype[..., None]
     out = jnp.where(mt == LAMBERTIAN, lam, 0.0)
     out = jnp.where(mt == MIRROR, mirror, out)
     out = jnp.where(mt == GLOSS, gloss, out)
@@ -126,13 +124,45 @@ def eval_brdf(mat, vec_out, vec_in, normal):
     return out
 
 
+def eval_brdf(mat, vec_out, vec_in, normal):
+    """Material::brdf dispatch including FresnelCombination
+    (material.rs:421-427): diffuse*(1-r) + specular*r with r the Schlick
+    weight from the refractive-index r0.  The Fresnel sub-material columns
+    (fd_/fs_) are present in the record only when the scene contains a
+    Fresnel material (SceneStatic.has_fresnel), so ordinary scenes pay
+    nothing for the second dispatch."""
+    primary = _basic_brdf(
+        mat["mtype"], mat["albedo"], mat["r0"], mat["metalness"],
+        mat["roughness"], vec_out, vec_in, normal,
+    )
+    if "fresnel_r0" not in mat:
+        return primary
+    # Diffuse sub-material lives in the primary columns under fd_mtype.
+    diff = _basic_brdf(
+        mat["fd_mtype"], mat["albedo"], mat["r0"], mat["metalness"],
+        mat["roughness"], vec_out, vec_in, normal,
+    )
+    spec = _basic_brdf(
+        mat["fs_mtype"], mat["fs_albedo"], mat["fs_r0"], mat["fs_metalness"],
+        mat["fs_roughness"], vec_out, vec_in, normal,
+    )
+    r = schlick(mat["fresnel_r0"], vec.dot(vec_out, normal))[..., None]
+    blended = diff * (1.0 - r) + spec * r
+    return jnp.where(mat["mtype"][..., None] == FRESNEL, blended, primary)
+
+
 def emittance(mat):
-    """Material::emittance (material.rs:110-118): only Lambertian emits."""
-    return jnp.where(mat["mtype"][..., None] == LAMBERTIAN, mat["emit"], 0.0)
+    """Material::emittance (material.rs:110-118): only Lambertian emits;
+    Fresnel defers to its diffuse sub-material (material.rs:416-418)."""
+    is_lam = mat["mtype"] == LAMBERTIAN
+    if "fresnel_r0" in mat:
+        is_lam = is_lam | ((mat["mtype"] == FRESNEL) & (mat["fd_mtype"] == LAMBERTIAN))
+    return jnp.where(is_lam[..., None], mat["emit"], 0.0)
 
 
-def sample(mat, vec_out, normal, u_lobe, u1, u2):
-    """Material::sample dispatch (material.rs:81-88).
+def _basic_sample(mtype, albedo, r0, metalness, roughness, vec_out, normal,
+                  u_lobe, u1, u2):
+    """BasicMaterial::sample dispatch (material.rs:81-88).
 
     vec_out: unit vector from the surface toward the previous path vertex.
     u_lobe, u1, u2: per-lane uniforms.
@@ -142,6 +172,8 @@ def sample(mat, vec_out, normal, u_lobe, u1, u2):
       pdf / brdf follow the reference exactly so attenuation brdf/pdf
       reproduces trace.rs:93.
     """
+    mat = dict(mtype=mtype, albedo=albedo, r0=r0, metalness=metalness,
+               roughness=roughness)
     n_dot = vec.dot(normal, vec_out)
 
     # --- Lambertian sample (material.rs:211-216) ---
@@ -204,3 +236,48 @@ def sample(mat, vec_out, normal, u_lobe, u1, u2):
         mt == MIRROR, True, jnp.where(mt == GLOSS, gloss_is_spec, False)
     )
     return direction, pdf, brdf, is_specular
+
+
+def sample(mat, vec_out, normal, u_lobe, u1, u2):
+    """Material::sample including FresnelCombination (capability extension:
+    the reference panics on Fresnel sample, material.rs:81-88 /
+    material.rs:398-413 only implements the NEE-side sample_pdf).  The
+    mixture picks the specular sub-material with probability r (the Schlick
+    weight, matching sample_pdf's branch probability) and folds the branch
+    probability into pdf and brdf exactly like Gloss does
+    (material.rs:302-325), so attenuation brdf/pdf stays unbiased."""
+    direction, pdf, brdf, is_spec = _basic_sample(
+        mat["mtype"], mat["albedo"], mat["r0"], mat["metalness"],
+        mat["roughness"], vec_out, normal, u_lobe, u1, u2,
+    )
+    if "fresnel_r0" not in mat:
+        return direction, pdf, brdf, is_spec
+
+    r = schlick(mat["fresnel_r0"], vec.dot(vec_out, normal))
+    pick_spec = u_lobe <= r
+    # Re-uniformise u_lobe within the chosen branch so sub-materials with
+    # their own lobe choice (Gloss) still see a uniform variate.
+    u_spec = u_lobe / jnp.maximum(r, 1e-8)
+    u_diff = (u_lobe - r) / jnp.maximum(1.0 - r, 1e-8)
+    d_dir, d_pdf, d_brdf, d_is_spec = _basic_sample(
+        mat["fd_mtype"], mat["albedo"], mat["r0"], mat["metalness"],
+        mat["roughness"], vec_out, normal, u_diff, u1, u2,
+    )
+    s_dir, s_pdf, s_brdf, s_is_spec = _basic_sample(
+        mat["fs_mtype"], mat["fs_albedo"], mat["fs_r0"], mat["fs_metalness"],
+        mat["fs_roughness"], vec_out, normal, u_spec, u1, u2,
+    )
+    ps3 = pick_spec[..., None]
+    f_dir = jnp.where(ps3, s_dir, d_dir)
+    f_pdf = jnp.where(pick_spec, r * s_pdf, (1.0 - r) * d_pdf)
+    f_brdf = jnp.where(ps3, s_brdf * r[..., None], d_brdf * (1.0 - r)[..., None])
+    f_is_spec = jnp.where(pick_spec, s_is_spec, d_is_spec)
+
+    is_fres = mat["mtype"] == FRESNEL
+    if3 = is_fres[..., None]
+    return (
+        jnp.where(if3, f_dir, direction),
+        jnp.where(is_fres, f_pdf, pdf),
+        jnp.where(if3, f_brdf, brdf),
+        jnp.where(is_fres, f_is_spec, is_spec),
+    )

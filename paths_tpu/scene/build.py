@@ -26,39 +26,62 @@ from paths_tpu.scene.models import ModelLibrary
 from paths_tpu.scene.types import SceneArrays, SceneStatic
 
 
+_NO_SUB = (M.LAMBERTIAN, np.zeros(3), 0.0, 0.0, 0.0)  # (mtype, albedo, r0, metal, rough)
+
+
+def _basic_sub_row(m: D.MaterialD):
+    """Map a BasicMaterial description (serde.rs:267-272: Lambertian | Gloss
+    | Mirror | CookTorrance) to (mtype, albedo, r0, metalness, roughness)."""
+    kind = m.kind
+    if kind == "lambertian":
+        return (M.LAMBERTIAN, np.array(m.albedo.colour.tolist()), 0.0, 0.0, 0.0)
+    if kind == "mirror":
+        return (M.MIRROR, np.ones(3), 0.0, 0.0, 0.0)
+    if kind == "gloss":
+        return (M.GLOSS, np.array(m.albedo.colour.tolist()), m.reflectance,
+                m.metalness, 0.0)
+    if kind == "cook_torrance":
+        return (M.COOK_TORRANCE, np.array(m.albedo.colour.tolist()), 0.0, 0.0,
+                m.roughness)
+    raise ValueError(f"Material kind {kind} is not a BasicMaterial")
+
+
 def _material_row(m: D.MaterialD, model_diffuse=None):
     """Map a MaterialD to SoA fields (mtype, albedo, vertex_flag, emit, r0,
-    metalness, roughness)."""
+    metalness, roughness, fd_mtype, fs_row, fresnel_r0)."""
     kind = m.kind
     if kind == "auto":
         # serde.rs:126-131: OBJ diffuse as Lambertian, else white Lambertian.
         albedo = model_diffuse if model_diffuse is not None else np.ones(3)
-        return (M.LAMBERTIAN, np.asarray(albedo, np.float64), False, np.zeros(3), 0.0, 0.0, 0.0)
+        return (M.LAMBERTIAN, np.asarray(albedo, np.float64), False, np.zeros(3),
+                0.0, 0.0, 0.0, M.LAMBERTIAN, _NO_SUB, 0.0)
     if kind == "lambertian":
         return (M.LAMBERTIAN, np.array(m.albedo.colour.tolist()), m.albedo.is_vertex,
-                np.zeros(3), 0.0, 0.0, 0.0)
+                np.zeros(3), 0.0, 0.0, 0.0, M.LAMBERTIAN, _NO_SUB, 0.0)
     if kind == "mirror":
-        return (M.MIRROR, np.ones(3), False, np.zeros(3), 0.0, 0.0, 0.0)
+        return (M.MIRROR, np.ones(3), False, np.zeros(3), 0.0, 0.0, 0.0,
+                M.LAMBERTIAN, _NO_SUB, 0.0)
     if kind == "gloss":
         return (M.GLOSS, np.array(m.albedo.colour.tolist()), m.albedo.is_vertex,
-                np.zeros(3), m.reflectance, m.metalness, 0.0)
+                np.zeros(3), m.reflectance, m.metalness, 0.0,
+                M.LAMBERTIAN, _NO_SUB, 0.0)
     if kind == "cook_torrance":
         return (M.COOK_TORRANCE, np.array(m.albedo.colour.tolist()), False,
-                np.zeros(3), 0.0, 0.0, m.roughness)
+                np.zeros(3), 0.0, 0.0, m.roughness, M.LAMBERTIAN, _NO_SUB, 0.0)
     if kind == "fresnel":
-        # FresnelCombination (material.rs:373-428).  With the common
-        # Lambertian-diffuse + Mirror-specular pair this is exactly Gloss
-        # with metalness 0 and r0 = ((1-n)/(1+n))^2 (material.rs:381-387);
-        # the general nested case is routed the same way for now.
+        # FresnelCombination (material.rs:373-428): arbitrary BasicMaterial
+        # diffuse/specular pair blended by the Schlick weight from
+        # r0 = ((1-n)/(1+n))^2 (material.rs:381-387).  The diffuse
+        # sub-material occupies the primary columns (typed by fd_mtype); the
+        # specular one goes to the fs_ columns.
         n2 = m.refractive_index
-        r0 = ((1.0 - n2) / (1.0 + n2)) ** 2
-        alb = (
-            np.array(m.diffuse.albedo.colour.tolist())
-            if m.diffuse is not None
-            else np.ones(3)
-        )
-        is_vertex = m.diffuse.albedo.is_vertex if m.diffuse is not None else False
-        return (M.GLOSS, alb, is_vertex, np.zeros(3), r0, 0.0, 0.0)
+        fresnel_r0 = ((1.0 - n2) / (1.0 + n2)) ** 2
+        diffuse = m.diffuse if m.diffuse is not None else D.MaterialD(kind="lambertian")
+        specular = m.specular if m.specular is not None else D.MaterialD(kind="mirror")
+        fd_mtype, d_alb, d_r0, d_metal, d_rough = _basic_sub_row(diffuse)
+        is_vertex = diffuse.albedo.is_vertex if diffuse.kind != "mirror" else False
+        return (M.FRESNEL, d_alb, is_vertex, np.zeros(3), d_r0, d_metal, d_rough,
+                fd_mtype, _basic_sub_row(specular), fresnel_r0)
     raise ValueError(f"Unknown material kind {kind}")
 
 
@@ -153,7 +176,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
     # Lights (scene.rs:155-164: area lights also become primitives).
     l_type, l_pos, l_rad, l_col, l_int, l_ent = [], [], [], [], [], []
     for li, l in enumerate(sd.lights):
-        ent = add_entity((M.LAMBERTIAN, np.zeros(3), False, np.zeros(3), 0.0, 0.0, 0.0))
+        ent = add_entity((M.LAMBERTIAN, np.zeros(3), False, np.zeros(3), 0.0, 0.0, 0.0, M.LAMBERTIAN, _NO_SUB, 0.0))
         l_ent.append(ent)
         l_type.append(LT.POINT if l.kind == "point" else LT.SPHERE)
         l_pos.append(np.array(l.position.tolist()))
@@ -170,7 +193,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
 
     # ---- entity table ----
     while len(rows) < n_entities:
-        rows.append((M.LAMBERTIAN, np.zeros(3), False, np.zeros(3), 0.0, 0.0, 0.0))
+        rows.append((M.LAMBERTIAN, np.zeros(3), False, np.zeros(3), 0.0, 0.0, 0.0, M.LAMBERTIAN, _NO_SUB, 0.0))
     mtype = np.array([r[0] for r in rows], np.int32)
     albedo = np.stack([r[1] for r in rows]).astype(np.float64)
     albedo_vertex = np.array([r[2] for r in rows], bool)
@@ -178,6 +201,14 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
     r0 = np.array([r[4] for r in rows], np.float64)
     metalness = np.array([r[5] for r in rows], np.float64)
     roughness = np.array([r[6] for r in rows], np.float64)
+    fd_mtype = np.array([r[7] for r in rows], np.int32)
+    fs_mtype = np.array([r[8][0] for r in rows], np.int32)
+    fs_albedo = np.stack([r[8][1] for r in rows]).astype(np.float64)
+    fs_r0 = np.array([r[8][2] for r in rows], np.float64)
+    fs_metalness = np.array([r[8][3] for r in rows], np.float64)
+    fs_roughness = np.array([r[8][4] for r in rows], np.float64)
+    fresnel_r0 = np.array([r[9] for r in rows], np.float64)
+    has_fresnel = bool((mtype == M.FRESNEL).any())
 
     ent_is_light = np.zeros(n_entities, bool)
     ent_light_emission = np.zeros((n_entities, 3), np.float64)
@@ -280,6 +311,10 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         mat_albedo_vertex=jnp.asarray(albedo_vertex),
         mat_emit=f32(emit), mat_r0=f32(r0),
         mat_metalness=f32(metalness), mat_roughness=f32(roughness),
+        mat_fd_mtype=i32(fd_mtype), mat_fs_mtype=i32(fs_mtype),
+        mat_fs_albedo=f32(fs_albedo), mat_fs_r0=f32(fs_r0),
+        mat_fs_metalness=f32(fs_metalness), mat_fs_roughness=f32(fs_roughness),
+        mat_fresnel_r0=f32(fresnel_r0),
         light_ltype=lt, light_pos=f32(lp), light_radius=f32(lr),
         light_colour=f32(lc), light_intensity=f32(li_arr), light_ent=i32(le),
         sky=sky_arr,
@@ -293,6 +328,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         n_entities=n_entities,
         sky_type=sky_type,
         use_bvh=use_bvh,
+        has_fresnel=has_fresnel,
     )
 
     cam = make_camera(

@@ -78,6 +78,20 @@ class SceneArrays(NamedTuple):
     mat_metalness: jnp.ndarray  # (E,)
     mat_roughness: jnp.ndarray  # (E,)
 
+    # FresnelCombination sub-materials (material.rs:373-428).  For rows with
+    # mtype FRESNEL, the primary albedo/r0/metalness/roughness columns hold
+    # the *diffuse* sub-material (typed by mat_fd_mtype) and the fs_ columns
+    # hold the *specular* sub-material; mat_fresnel_r0 is ((1-n)/(1+n))^2
+    # from the refractive index (material.rs:381-387).  Gathered into the hot
+    # loop only when SceneStatic.has_fresnel.
+    mat_fd_mtype: jnp.ndarray  # (E,) int32
+    mat_fs_mtype: jnp.ndarray  # (E,) int32
+    mat_fs_albedo: jnp.ndarray  # (E, 3)
+    mat_fs_r0: jnp.ndarray  # (E,)
+    mat_fs_metalness: jnp.ndarray  # (E,)
+    mat_fs_roughness: jnp.ndarray  # (E,)
+    mat_fresnel_r0: jnp.ndarray  # (E,)
+
     # Lights.
     light_ltype: jnp.ndarray  # (L,) int32
     light_pos: jnp.ndarray  # (L, 3)
@@ -100,6 +114,11 @@ class SceneStatic:
     n_entities: int
     sky_type: int
     use_bvh: bool = False
+    has_fresnel: bool = False
+    # Bounce cap (trace.rs:14 caps `loops > 10` -> 11 iterations).  A
+    # compile-time knob: lowering it shrinks the unrolled-scan program for
+    # fast-compile paths (previews, dryruns) at the cost of bias.
+    max_bounces: int = 10
 
     @property
     def has_spheres(self) -> bool:

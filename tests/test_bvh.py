@@ -114,3 +114,80 @@ def test_traversal_exclusion(teapot):
         jnp.full(1, 3.4e38, jnp.float32),
     )
     assert not (float(t[0]) < 1e30 and int(idx[0]) == 0)
+
+
+def test_native_builder_matches_python():
+    """C++ binned-SAH builder (native/bvh_builder.cc) produces a valid
+    skip-link tree whose traversal finds identical closest hits to the
+    Python builder's tree."""
+    from paths_tpu import native
+    from paths_tpu.bvh.build import _build_bvh_py
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    v0, v1, v2 = _random_tris(4096, seed=3)
+    tri_min = np.minimum(np.minimum(v0, v1), v2)
+    tri_max = np.maximum(np.maximum(v0, v1), v2)
+
+    out = native.build_bvh_native(tri_min, tri_max, LEAF_SIZE)
+    assert out is not None
+    (node_min, node_max, hit_link, miss_link, prim_start, prim_count,
+     order, n_nodes, depth) = out
+
+    # Structural invariants (same as the Python builder's).
+    assert sorted(order.tolist()) == list(range(4096))
+    leaves = prim_count > 0
+    spans = sorted(zip(prim_start[leaves].tolist(), prim_count[leaves].tolist()))
+    pos = 0
+    for s, c in spans:
+        assert s == pos
+        assert 1 <= c <= LEAF_SIZE
+        pos += c
+    assert pos == 4096
+    inner = ~leaves
+    np.testing.assert_array_equal(hit_link[inner], np.nonzero(inner)[0] + 1)
+    assert ((miss_link >= -1) & (miss_link < n_nodes)).all()
+
+    # Root AABB identical to Python build (both cover all prims).
+    pb = _build_bvh_py(tri_min, tri_max)
+    np.testing.assert_allclose(node_min[0], pb.node_min[0], rtol=1e-6)
+    np.testing.assert_allclose(node_max[0], pb.node_max[0], rtol=1e-6)
+
+    # Traversal equivalence: same closest hit t on random rays through both
+    # trees (prim ids differ under reordering; compare distances).
+    from paths_tpu.scene.types import BvhArrays
+
+    def scene_for(bvh_tuple, perm):
+        nmin, nmax, hl, ml, ps, pc = bvh_tuple
+        class S:  # minimal duck-typed scene for closest_hit_bvh
+            bvh = BvhArrays(
+                node_min=jnp.asarray(nmin), node_max=jnp.asarray(nmax),
+                hit_link=jnp.asarray(hl), miss_link=jnp.asarray(ml),
+                prim_start=jnp.asarray(ps), prim_count=jnp.asarray(pc),
+            )
+            tri_v0 = jnp.asarray(v0[perm], jnp.float32)
+            tri_v1 = jnp.asarray(v1[perm], jnp.float32)
+            tri_v2 = jnp.asarray(v2[perm], jnp.float32)
+            tri_n = jnp.asarray(
+                np.cross(v1 - v0, v2 - v0)[perm]
+                / np.maximum(np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1, keepdims=True), 1e-12),
+                jnp.float32,
+            )
+        return S()
+
+    rng = np.random.default_rng(7)
+    n_rays = 256
+    o = rng.uniform(-15, 15, (n_rays, 3)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3))
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+
+    sn = scene_for((node_min, node_max, hit_link, miss_link, prim_start, prim_count), order)
+    sp = scene_for((pb.node_min, pb.node_max, pb.hit_link, pb.miss_link,
+                    pb.prim_start, pb.prim_count), pb.order)
+    big = jnp.full(n_rays, 3.4e38, jnp.float32)
+    excl = jnp.full(n_rays, -1, jnp.int32)
+    kind = jnp.zeros(n_rays, jnp.int32)
+    tn, _ = closest_hit_bvh(sn, jnp.asarray(o), jnp.asarray(d), kind, excl, big)
+    tp, _ = closest_hit_bvh(sp, jnp.asarray(o), jnp.asarray(d), kind, excl, big)
+    np.testing.assert_allclose(np.asarray(tn), np.asarray(tp), rtol=1e-5)
