@@ -16,6 +16,7 @@ the SPMD cost model the whole framework is built around.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -23,7 +24,7 @@ from paths_tpu.bvh.build import LEAF_SIZE
 from paths_tpu.geom import triangle as GT
 from paths_tpu.math import vec
 
-BIG = jnp.float32(3.4e38)
+BIG = np.float32(3.4e38)  # numpy, not jnp: see integrator.py BIG comment
 
 
 def closest_hit_bvh(scene, o, d, excl_kind, excl_idx, t_init):

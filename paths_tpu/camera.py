@@ -142,7 +142,21 @@ def get_rays(
     direction_local = -(k * (p / v) + l)  # camera.rs:82-83
     norm_dir = vec.normalize(direction_local)
 
-    origin = l @ cam.rot.T + cam.location  # camera.rs:86-88
-    direction = norm_dir @ cam.rot.T
+    # Rotation applied as explicit elementwise math, NOT `@`: XLA lowers the
+    # (N,3)x(3,3) matmul onto the MXU in bfloat16 by default, quantising ray
+    # directions to ~8 mantissa bits -- several-pixel staircase artifacts on
+    # silhouettes.  The VPU form is exact f32 (and faster at this shape).
+    def rotate(m, w3):
+        return jnp.stack(
+            [
+                m[0, 0] * w3[..., 0] + m[0, 1] * w3[..., 1] + m[0, 2] * w3[..., 2],
+                m[1, 0] * w3[..., 0] + m[1, 1] * w3[..., 1] + m[1, 2] * w3[..., 2],
+                m[2, 0] * w3[..., 0] + m[2, 1] * w3[..., 1] + m[2, 2] * w3[..., 2],
+            ],
+            axis=-1,
+        )
+
+    origin = rotate(cam.rot, l) + cam.location  # camera.rs:86-88
+    direction = rotate(cam.rot, norm_dir)
     weight = norm_dir[..., 2]  # camera.rs:90-91
     return origin, direction, weight

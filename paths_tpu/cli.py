@@ -27,6 +27,15 @@ def main(argv=None):
     ap.add_argument("--stress", type=int, default=500,
                     help="stress-scene sphere count when no scene given")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--env-nee", action="store_true",
+                    help="importance-sample the HDRI skybox as a light "
+                         "(lower variance for sun-like environments)")
+    ap.add_argument("--max-bounces", type=int, default=10)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file; resumed from if it exists, "
+                         "written every --checkpoint-every samples")
+    ap.add_argument("--checkpoint-every", type=int, default=32,
+                    help="samples between checkpoint writes")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -49,6 +58,12 @@ def main(argv=None):
         sd = generate_stress_scene(args.stress)
 
     static, scene, cam = build_scene(sd)
+    if args.env_nee or args.max_bounces != 10:
+        import dataclasses
+
+        static = dataclasses.replace(
+            static, env_nee=args.env_nee, max_bounces=args.max_bounces
+        )
     width, height = sd.camera.image_width, sd.camera.image_height
     if args.size:
         width, height = (int(v) for v in args.size.lower().split("x"))
@@ -58,9 +73,35 @@ def main(argv=None):
         f"{static.n_tris} tris, {static.n_lights} lights"
     )
 
+    est = None
+    start_sample = 0
+    on_batch = None
+    if args.checkpoint:
+        import os
+
+        from paths_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+        if os.path.exists(args.checkpoint):
+            est, start_sample, ck_seed = load_checkpoint(args.checkpoint)
+            if ck_seed != args.seed or est.width != width or est.height != height:
+                raise SystemExit(
+                    f"checkpoint {args.checkpoint} was taken with different "
+                    f"render settings (seed {ck_seed}, {est.width}x{est.height})"
+                )
+            print(f"resumed {args.checkpoint} at sample {start_sample}")
+
+        last_saved = [start_sample]
+
+        def on_batch(e, next_sample):
+            if next_sample - last_saved[0] >= args.checkpoint_every or next_sample >= args.spp:
+                save_checkpoint(args.checkpoint, e, next_sample, args.seed)
+                last_saved[0] = next_sample
+                print(f"[ckpt] saved at sample {next_sample}")
+
     img = render_image(
         static, scene, cam, width, height,
         spp=args.spp, seed=args.seed, tile_pixels=args.tile, progress=True,
+        est=est, start_sample=start_sample, on_batch=on_batch,
     )
     elapsed = time.time() - t0
     rays = width * height * args.spp

@@ -17,12 +17,13 @@ Semantics matched to the reference:
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from paths_tpu.math import ds
 from paths_tpu.math import vec
 
-BIG = jnp.float32(3.4e38)
+BIG = np.float32(3.4e38)  # numpy, not jnp: see integrator.py BIG comment
 
 
 def intersect(o, d, center, radius):

@@ -8,11 +8,12 @@ the reference's smooth-normal/vertex-colour interpolation (model.rs:142-172).
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from paths_tpu.math import vec
 
-BIG = jnp.float32(3.4e38)
+BIG = np.float32(3.4e38)  # numpy, not jnp: see integrator.py BIG comment
 
 
 def intersect(o, d, v0, v1, v2, n):

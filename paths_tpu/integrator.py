@@ -25,6 +25,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -40,7 +41,11 @@ from paths_tpu.scene.types import SceneArrays, SceneStatic
 MAX_BOUNCES = 10  # trace.rs:14: `if loops > 10 break` -> 11 iterations
 RR_START = 2  # trace.rs:104
 SHADOW_EPS = 1e-4  # trace.rs:57,89
-BIG = jnp.float32(3.4e38)
+# numpy scalar, NOT a jnp array: module-level device constants are created
+# at import time on whatever platform is then active and get re-fetched
+# from that device at every jit lowering -- catastrophically slow through
+# a tunneled TPU.
+BIG = np.float32(3.4e38)
 
 # Primitive kinds.
 KIND_NONE = 0
@@ -305,6 +310,7 @@ def trace_rays(
     ``scene``'s continuous parameters.  Returns (N, 3)."""
     N = ray_o.shape[0]
     seed = jnp.asarray(seed).astype(jnp.uint32)
+    env_nee = static.env_nee and static.sky_type == SK.HDRI
 
     def u(bounce, dim):
         return H.uniform(
@@ -324,9 +330,15 @@ def trace_rays(
 
         hit = intersect_full(static, scene, o, d, excl_kind, excl_idx)
 
-        # Miss -> skybox, evaluated at -direction (trace.rs:18-23).
+        # Miss -> skybox, evaluated at -direction (trace.rs:18-23).  With
+        # environment NEE active, diffuse-bounce misses are already covered
+        # by the env samples, so the escaping ray only collects the sky on a
+        # specular previous bounce -- the same double-counting rule the
+        # reference applies to area lights (trace.rs:30-41).
         sky_col = SK.ambient_light(static.sky_type, scene.sky, -d)
         miss = alive & ~hit["found"]
+        if env_nee:
+            miss = miss & last_spec
         colour = colour + jnp.where(miss[..., None], throughput * sky_col, 0.0)
         alive = alive & hit["found"]
 
@@ -381,6 +393,27 @@ def trace_rays(
             )
             ok = alive & ~occluded & (cos_theta > 0.0)
             colour = colour + jnp.where(ok[..., None], direct * throughput, 0.0)
+
+        # ---- Environment NEE (capability extension; SURVEY.md section 7
+        # stage 5: 2D-CDF importance sampling of the HDRI for direct
+        # lighting, where the reference only collects skybox on miss) ----
+        if env_nee:
+            e_dir, e_inv_pdf, e_rad = SK.sample_env(
+                scene.sky,
+                u(bounce, H.DIM_ENV_CDF),
+                u(bounce, H.DIM_ENV_JX),
+                u(bounce, H.DIM_ENV_JY),
+            )
+            e_shadow_dir = -e_dir  # surface -> sky
+            e_shadow_o = location + normal * SHADOW_EPS
+            e_found, _, _, _, _ = intersect_brief(
+                static, scene, e_shadow_o, e_shadow_dir, hit["kind"], hit["idx"]
+            )
+            e_cos = vec.dot(normal, e_shadow_dir)
+            e_brdf = M.eval_brdf(mat, vec_out, e_dir, normal)
+            e_direct = e_rad * e_brdf * e_inv_pdf[..., None]
+            e_ok = alive & ~e_found & (e_cos > 0.0)
+            colour = colour + jnp.where(e_ok[..., None], e_direct * throughput, 0.0)
 
         # ---- BSDF sample & bounce (trace.rs:84-101) ----
         new_dir, pdf, brdf, is_spec = M.sample(

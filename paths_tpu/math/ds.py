@@ -15,12 +15,13 @@ assumed (XLA does not guarantee one), so products are split Dekker-style.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 # A double-single number is a tuple (hi, lo) with |lo| <= ulp(hi)/2 and the
 # represented value hi + lo.
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 for f32 Dekker splitting
+_SPLITTER = np.float32(4097.0)  # 2^12+1 Dekker split; numpy (import-time device constants are slow)
 
 
 def two_sum(a, b):

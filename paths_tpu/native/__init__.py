@@ -53,6 +53,34 @@ def _load() -> ctypes.CDLL | None:
             _build_failed = True
             return None
 
+        c = ctypes
+        lib.paths_obj_load.restype = c.c_void_p
+        lib.paths_obj_load.argtypes = [c.c_char_p, c.POINTER(c.c_int64)]
+        lib.paths_obj_model_info.restype = c.c_int
+        lib.paths_obj_model_info.argtypes = [
+            c.c_void_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
+            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+        ]
+        lib.paths_obj_model_data.restype = c.c_int
+        lib.paths_obj_model_data.argtypes = [
+            c.c_void_p, c.c_int64, c.POINTER(c.c_double), c.POINTER(c.c_int64),
+            c.POINTER(c.c_double), c.POINTER(c.c_double),
+        ]
+        lib.paths_obj_free.restype = None
+        lib.paths_obj_free.argtypes = [c.c_void_p]
+        lib.paths_ply_load.restype = c.c_void_p
+        lib.paths_ply_load.argtypes = [
+            c.c_char_p, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
+            c.POINTER(c.c_int32),
+        ]
+        lib.paths_ply_data.restype = c.c_int
+        lib.paths_ply_data.argtypes = [
+            c.c_void_p, c.POINTER(c.c_double), c.POINTER(c.c_int64),
+            c.POINTER(c.c_double),
+        ]
+        lib.paths_ply_free.restype = None
+        lib.paths_ply_free.argtypes = [c.c_void_p]
+
         lib.paths_build_bvh.restype = ctypes.c_int
         lib.paths_build_bvh.argtypes = [
             ctypes.POINTER(ctypes.c_float),  # tri_min
@@ -131,3 +159,79 @@ def build_bvh_native(tri_min: np.ndarray, tri_max: np.ndarray, leaf_size: int):
         m,
         depth.value,
     )
+
+
+def load_obj_native(path: str):
+    """Parse an OBJ via the native loader.  Returns a list of dicts
+    (vertices (V,3) f64, faces (F,3) i64, texcoords (V,2) f64 | None,
+    diffuse (3,) f64 | None) matching obj_loader.ObjModel field-for-field,
+    or None when the library is unavailable or parsing fails."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_models = ctypes.c_int64(0)
+    h = lib.paths_obj_load(path.encode(), ctypes.byref(n_models))
+    if not h:
+        return None
+    try:
+        out = []
+        dp = ctypes.POINTER(ctypes.c_double)
+        lp = ctypes.POINTER(ctypes.c_int64)
+        for i in range(n_models.value):
+            nv = ctypes.c_int64(0)
+            nf = ctypes.c_int64(0)
+            has_uv = ctypes.c_int32(0)
+            has_kd = ctypes.c_int32(0)
+            if lib.paths_obj_model_info(h, i, ctypes.byref(nv), ctypes.byref(nf),
+                                        ctypes.byref(has_uv), ctypes.byref(has_kd)):
+                return None
+            verts = np.empty((nv.value, 3), np.float64)
+            faces = np.empty((nf.value, 3), np.int64)
+            uvs = np.empty((nv.value, 2), np.float64) if has_uv.value else None
+            kd = np.empty(3, np.float64) if has_kd.value else None
+            rc = lib.paths_obj_model_data(
+                h, i,
+                verts.ctypes.data_as(dp),
+                faces.ctypes.data_as(lp),
+                uvs.ctypes.data_as(dp) if uvs is not None else None,
+                kd.ctypes.data_as(dp) if kd is not None else None,
+            )
+            if rc:
+                return None
+            out.append(dict(vertices=verts, faces=faces, texcoords=uvs, diffuse=kd))
+        return out
+    finally:
+        lib.paths_obj_free(h)
+
+
+def load_ply_native(path: str):
+    """Parse a PLY via the native loader.  Returns a dict (vertices (V,3)
+    f64, faces (F,3) i64, vertex_colours (V,3) f64 | None) matching
+    ply_loader.PlyModel, or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    nv = ctypes.c_int64(0)
+    nf = ctypes.c_int64(0)
+    has_col = ctypes.c_int32(0)
+    h = lib.paths_ply_load(path.encode(), ctypes.byref(nv), ctypes.byref(nf),
+                           ctypes.byref(has_col))
+    if not h:
+        return None
+    try:
+        dp = ctypes.POINTER(ctypes.c_double)
+        lp = ctypes.POINTER(ctypes.c_int64)
+        verts = np.empty((nv.value, 3), np.float64)
+        faces = np.empty((nf.value, 3), np.int64)
+        cols = np.empty((nv.value, 3), np.float64) if has_col.value else None
+        rc = lib.paths_ply_data(
+            h,
+            verts.ctypes.data_as(dp),
+            faces.ctypes.data_as(lp),
+            cols.ctypes.data_as(dp) if cols is not None else None,
+        )
+        if rc:
+            return None
+        return dict(vertices=verts, faces=faces, vertex_colours=cols)
+    finally:
+        lib.paths_ply_free(h)

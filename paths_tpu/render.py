@@ -125,10 +125,23 @@ def render_image(
     seed: int = 0,
     tile_pixels: int = 65536,
     progress: bool = False,
+    est: "Estimator | None" = None,
+    start_sample: int = 0,
+    on_batch=None,
+    sample_batch: int = 8,
 ) -> np.ndarray:
     """Render a full frame at `spp` samples per pixel.  Returns (H, W, 3)
-    linear-RGB float64 means."""
-    est = Estimator(width, height)
+    linear-RGB float64 means.
+
+    Sample-major loop: each pass adds a batch of samples to every pixel, so
+    the frame refines progressively and the accumulated state is
+    checkpointable between batches (paths_tpu.checkpoint).  Resume by
+    passing the loaded `est` and `start_sample`; identical RNG streams make
+    the result bit-identical to an uninterrupted render.
+    `on_batch(est, next_sample)` fires after each full-frame batch.
+    """
+    if est is None:
+        est = Estimator(width, height)
     n_pix = width * height
     pix = np.arange(n_pix, dtype=np.uint32)
     px_all = (pix % width).astype(np.int32)
@@ -137,28 +150,34 @@ def render_image(
     tile = min(tile_pixels, n_pix)
     # Batch samples on-device in groups to bound per-dispatch latency while
     # amortising dispatch overhead.
-    sample_batch = min(spp, 8)
+    sample_batch = min(spp, sample_batch)
+    tiles = []
     for start in range(0, n_pix, tile):
         end = min(start + tile, n_pix)
-        n = end - start
-        # Pad to the tile size so every tile reuses one compiled program.
-        pad = tile - n
+        pad = tile - (end - start)
         sl = slice(start, end)
-        px_j = jnp.asarray(np.pad(px_all[sl], (0, pad)))
-        py_j = jnp.asarray(np.pad(py_all[sl], (0, pad)))
-        pid_j = jnp.asarray(np.pad(pix[sl], (0, pad)))
-        s = 0
-        while s < spp:
-            k = min(sample_batch, spp - s)
+        tiles.append((
+            sl, end - start,
+            jnp.asarray(np.pad(px_all[sl], (0, pad))),
+            jnp.asarray(np.pad(py_all[sl], (0, pad))),
+            jnp.asarray(np.pad(pix[sl], (0, pad))),
+        ))
+
+    s = start_sample
+    while s < spp:
+        k = min(sample_batch, spp - s)
+        for sl, n, px_j, py_j, pid_j in tiles:
             col = _render_samples_jit(
                 static, scene, cam, px_j, py_j, pid_j, jnp.uint32(s), k, seed
             )
             col = np.asarray(col)[:n]
             est.sum[py_all[sl], px_all[sl]] += col
             est.count[py_all[sl], px_all[sl]] += k
-            s += k
+        s += k
         if progress:
-            print(f"[render] pixels {end}/{n_pix}")
+            print(f"[render] samples {s}/{spp}")
+        if on_batch is not None:
+            on_batch(est, s)
     return est.mean()
 
 

@@ -28,7 +28,10 @@ DIM_LOBE = 3
 DIM_BSDF_U = 4
 DIM_BSDF_V = 5
 DIM_RR = 6
-DIMS_PER_BOUNCE = 8
+DIM_ENV_CDF = 7
+DIM_ENV_JX = 8
+DIM_ENV_JY = 9
+DIMS_PER_BOUNCE = 10
 
 
 def _fmix32(h: jnp.ndarray) -> jnp.ndarray:

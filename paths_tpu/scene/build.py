@@ -315,7 +315,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         mat_fs_albedo=f32(fs_albedo), mat_fs_r0=f32(fs_r0),
         mat_fs_metalness=f32(fs_metalness), mat_fs_roughness=f32(fs_roughness),
         mat_fresnel_r0=f32(fresnel_r0),
-        light_ltype=lt, light_pos=f32(lp), light_radius=f32(lr),
+        light_ltype=i32(lt), light_pos=f32(lp), light_radius=f32(lr),
         light_colour=f32(lc), light_intensity=f32(li_arr), light_ent=i32(le),
         sky=sky_arr,
         bvh=bvh_arrays,

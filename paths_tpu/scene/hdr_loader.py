@@ -73,3 +73,28 @@ def load_hdr(path: str) -> np.ndarray:
         exponent == 0, 0.0, np.ldexp(1.0, exponent - 136)
     ).astype(np.float32)
     return mantissa * scale[..., None]
+
+
+def write_hdr(path: str, image: np.ndarray):
+    """Write (H, W, 3) linear RGB to a flat (non-RLE) Radiance HDR file.
+
+    Inverse of load_hdr's RGBE decode; used by tests and asset generators
+    (the reference ships .hdr skyboxes it does not bundle,
+    scenes/environment.yml:13-14)."""
+    img = np.asarray(image, np.float32)
+    h, w = img.shape[0], img.shape[1]
+    maxc = img.max(axis=-1)
+    exp = np.zeros((h, w), np.int32)
+    nz = maxc > 1e-32
+    # frexp: maxc = m * 2^e with m in [0.5, 1).
+    m, e = np.frexp(np.where(nz, maxc, 1.0))
+    scale = np.where(nz, m * 256.0 / maxc, 0.0)
+    exp = np.where(nz, e + 128, 0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(np.rint(img * scale[..., None]), 0, 255).astype(np.uint8)
+    rgbe[..., 3] = exp.astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\n")
+        f.write(b"FORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())

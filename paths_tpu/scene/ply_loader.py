@@ -28,7 +28,20 @@ class PlyModel:
         self.vertex_colours = None  # (V, 3) f64 in [0,1] or None
 
 
-def load_ply_file(path: str) -> PlyModel:
+def load_ply_file(path: str, use_native: bool = True) -> PlyModel:
+    """Parse a PLY file.  Dispatches to the C++ parser (native/mesh_io.cc)
+    when available -- identical output, much faster on dragon-class meshes;
+    this pure-Python path is the fallback and the semantics reference."""
+    if use_native:
+        from paths_tpu import native
+
+        parsed = native.load_ply_native(path)
+        if parsed is not None:
+            m = PlyModel()
+            m.vertices = parsed["vertices"]
+            m.faces = parsed["faces"]
+            m.vertex_colours = parsed["vertex_colours"]
+            return m
     with open(path, "rb") as f:
         data = f.read()
 

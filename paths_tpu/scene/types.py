@@ -119,6 +119,10 @@ class SceneStatic:
     # compile-time knob: lowering it shrinks the unrolled-scan program for
     # fast-compile paths (previews, dryruns) at the cost of bias.
     max_bounces: int = 10
+    # Environment-map NEE (importance-sample the HDRI as a light source;
+    # capability extension over the reference's skybox-on-miss).  Off by
+    # default to match reference semantics exactly.
+    env_nee: bool = False
 
     @property
     def has_spheres(self) -> bool:
