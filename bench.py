@@ -5,6 +5,16 @@ the reference prints at runtime (renderer.rs:101 counts one ray per sample
 delivered, main.rs:107-112 prints rays/s).  Each sample additionally traces
 up to 11 bounces + shadow rays internally, identical to the reference.
 
+Timing notes (hard-won on the tunneled TPU this runs on):
+  - the jitted function reduces its wave to ONE scalar, and the timer wraps
+    dispatch + float(fetch) of that scalar -- `block_until_ready` through the
+    axon tunnel has been observed returning before compute finishes, so a
+    value dependency is the only trustworthy sync;
+  - the warmup also fetches, because the first fetch of a new executable can
+    stall tens of seconds on the tunnel;
+  - the reported value is the MEDIAN of the reps, since individual fetches
+    occasionally hiccup.
+
 vs_baseline compares against the ESTIMATED reference CPU anchor in
 BASELINE.md (the Rust reference cannot be built here -- no cargo in the
 image), currently 2.0e6 samples/s for a 4-thread CPU run.
@@ -13,18 +23,28 @@ image), currently 2.0e6 samples/s for a 4-thread CPU run.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
 BASELINE_RAYS_PER_SEC = 2.0e6  # estimated CPU anchor, see BASELINE.md
 
 
-def bench_scene(scene_path: str, spp: int, tile: int = 345600):
+def bench_scene(scene_path: str, spp: int, tile: int = 345600, reps: int = 5):
+    from functools import partial
+
     import numpy as np
+    import jax
     import jax.numpy as jnp
     from paths_tpu.scene.yaml_loader import load_scene_description
     from paths_tpu.scene.build import build_scene
-    from paths_tpu.render import _render_samples_jit
+    from paths_tpu.render import render_samples
+
+    @partial(jax.jit, static_argnums=(0, 7))
+    def wave_sum(static, scene, cam, px, py, pid, s0, n_samples, seed):
+        return render_samples(
+            static, scene, cam, px, py, pid, s0, n_samples, seed
+        ).sum()
 
     sd = load_scene_description(scene_path)
     static, scene, cam = build_scene(sd)
@@ -37,17 +57,19 @@ def bench_scene(scene_path: str, spp: int, tile: int = 345600):
     py = jnp.asarray((pix // W).astype(np.int32))
     pid = jnp.asarray(pix)
 
-    # Warmup / compile.
-    _render_samples_jit(static, scene, cam, px, py, pid, jnp.uint32(0), spp, 0
-                        ).block_until_ready()
+    # Warmup: compile AND fetch (first fetch pays one-time tunnel cost).
+    float(wave_sum(static, scene, cam, px, py, pid, jnp.uint32(0), spp, 0))
 
-    t0 = time.time()
-    reps = 3
+    times = []
     for r in range(reps):
-        _render_samples_jit(
-            static, scene, cam, px, py, pid, jnp.uint32((r + 1) * spp), spp, 0
-        ).block_until_ready()
-    dt = (time.time() - t0) / reps
+        t0 = time.time()
+        float(
+            wave_sum(
+                static, scene, cam, px, py, pid, jnp.uint32((r + 1) * spp), spp, 0
+            )
+        )
+        times.append(time.time() - t0)
+    dt = statistics.median(times)
     rays = tile * spp
     return rays / dt
 

@@ -297,6 +297,164 @@ def _gather_light(scene: SceneArrays, li):
     )
 
 
+def path_step(static: SceneStatic, scene: SceneArrays, bounce, state, u):
+    """Advance every lane's path by one segment (one bounce of trace.rs's
+    loop, trace.rs:13-118).
+
+    bounce: per-lane (N,) or scalar bounce index (RNG counter + RR gate).
+    state: (o, d, throughput, colour, alive, last_spec, excl_kind, excl_idx).
+    u(bounce, dim): per-lane uniform for this bounce and dimension slot.
+
+    This is the shared hot body used both by the fixed-schedule
+    ``trace_rays`` (differentiable) and the regenerating wavefront in
+    paths_tpu.render (forward-only, no dead-lane waste).
+    """
+    env_nee = static.env_nee and static.sky_type == SK.HDRI
+    (o, d, throughput, colour, alive, last_spec, excl_kind, excl_idx) = state
+
+    hit = intersect_full(static, scene, o, d, excl_kind, excl_idx)
+
+    # Miss -> skybox, evaluated at -direction (trace.rs:18-23).  With
+    # environment NEE active, diffuse-bounce misses are already covered
+    # by the env samples, so the escaping ray only collects the sky on a
+    # specular previous bounce -- the same double-counting rule the
+    # reference applies to area lights (trace.rs:30-41).
+    sky_col = SK.ambient_light(static.sky_type, scene.sky, -d)
+    miss = alive & ~hit["found"]
+    if env_nee:
+        miss = miss & last_spec
+    colour = colour + jnp.where(miss[..., None], throughput * sky_col, 0.0)
+    alive = alive & hit["found"]
+
+    # Facing check (trace.rs:25-28): cos_in = d . -n must be > 0.
+    normal = hit["normal"]
+    cos_in = vec.dot(d, -normal)
+    alive = alive & (cos_in > 0.0)
+
+    # Direct light hit (trace.rs:30-41): accumulate only on specular
+    # previous bounce (NEE covers the rest); path ends either way.
+    is_light = scene.ent_is_light[hit["ent"]]
+    light_gain = alive & is_light & last_spec
+    colour = colour + jnp.where(
+        light_gain[..., None],
+        throughput * scene.ent_light_emission[hit["ent"]],
+        0.0,
+    )
+    alive = alive & ~is_light
+
+    mat = _gather_material(static, scene, hit["ent"], hit["kind"], hit["vtx_colour"])
+    location = hit["location"]
+    vec_out = -d
+
+    # ---- Next Event Estimation (trace.rs:52-81) ----
+    if static.n_lights > 0:
+        u_pick = u(bounce, H.DIM_LIGHT_PICK)
+        li = jnp.minimum(
+            (u_pick * static.n_lights).astype(jnp.int32), static.n_lights - 1
+        )
+        light = _gather_light(scene, li)
+        in_dir, inv_pdf, max_dist = LT.sample(
+            light, location, u(bounce, H.DIM_LIGHT_U), u(bounce, H.DIM_LIGHT_V)
+        )
+        shadow_dir = -in_dir
+        shadow_o = location + normal * SHADOW_EPS
+        s_found, _, _, s_ent, s_t = intersect_brief(
+            static, scene, shadow_o, shadow_dir, hit["kind"], hit["idx"]
+        )
+        is_point = light["ltype"] == LT.POINT
+        occluded = jnp.where(
+            is_point,
+            s_found & (s_t < max_dist),
+            s_found & (s_ent != light["ent_id"]),
+        )
+        cos_theta = jnp.maximum(0.0, vec.dot(normal, shadow_dir))
+        brdf = M.eval_brdf(mat, vec_out, -shadow_dir, normal)
+        direct = (
+            light["colour"]
+            * light["intensity"][..., None]
+            * brdf
+            * inv_pdf[..., None]
+        )
+        ok = alive & ~occluded & (cos_theta > 0.0)
+        colour = colour + jnp.where(ok[..., None], direct * throughput, 0.0)
+
+    # ---- Environment NEE (capability extension; SURVEY.md section 7
+    # stage 5: 2D-CDF importance sampling of the HDRI for direct
+    # lighting, where the reference only collects skybox on miss) ----
+    if env_nee:
+        e_dir, e_inv_pdf, e_rad = SK.sample_env(
+            scene.sky,
+            u(bounce, H.DIM_ENV_CDF),
+            u(bounce, H.DIM_ENV_JX),
+            u(bounce, H.DIM_ENV_JY),
+        )
+        e_shadow_dir = -e_dir  # surface -> sky
+        e_shadow_o = location + normal * SHADOW_EPS
+        e_found, _, _, _, _ = intersect_brief(
+            static, scene, e_shadow_o, e_shadow_dir, hit["kind"], hit["idx"]
+        )
+        e_cos = vec.dot(normal, e_shadow_dir)
+        e_brdf = M.eval_brdf(mat, vec_out, e_dir, normal)
+        e_direct = e_rad * e_brdf * e_inv_pdf[..., None]
+        e_ok = alive & ~e_found & (e_cos > 0.0)
+        colour = colour + jnp.where(e_ok[..., None], e_direct * throughput, 0.0)
+
+    # ---- BSDF sample & bounce (trace.rs:84-101) ----
+    new_dir, pdf, brdf, is_spec = M.sample(
+        mat, vec_out, normal,
+        u(bounce, H.DIM_LOBE), u(bounce, H.DIM_BSDF_U), u(bounce, H.DIM_BSDF_V),
+    )
+    pdf_safe = jnp.where(pdf == 0.0, 1.0, pdf)
+    attenuation = jnp.where(
+        (pdf == 0.0)[..., None], 0.0, brdf / pdf_safe[..., None]
+    )
+    new_throughput = throughput * attenuation
+    dead = vec.max_component(new_throughput) <= 0.0  # trace.rs:96-98
+
+    emit = M.emittance(mat)  # trace.rs:100-101 (post-attenuation T)
+    colour = colour + jnp.where(
+        (alive & ~dead)[..., None], emit * new_throughput, 0.0
+    )
+
+    # Russian roulette from bounce 2 (trace.rs:103-111).
+    survival = vec.max_component(new_throughput)
+    u_rr = u(bounce, H.DIM_RR)
+    rr_active = bounce >= RR_START
+    rr_kill = rr_active & (u_rr > survival)
+    survival_safe = jnp.where(survival == 0.0, 1.0, survival)
+    new_throughput = jnp.where(
+        (rr_active & ~rr_kill)[..., None],
+        new_throughput / survival_safe[..., None],
+        new_throughput,
+    )
+
+    step_alive = alive & ~dead & ~rr_kill
+    throughput = jnp.where(step_alive[..., None], new_throughput, throughput)
+    o = jnp.where(step_alive[..., None], location + normal * SHADOW_EPS, o)
+    d = jnp.where(step_alive[..., None], new_dir, d)
+    last_spec = jnp.where(step_alive, is_spec, last_spec)
+    excl_kind = jnp.where(step_alive, hit["kind"], excl_kind)
+    excl_idx = jnp.where(step_alive, hit["idx"], excl_idx)
+
+    return (o, d, throughput, colour, step_alive, last_spec, excl_kind, excl_idx)
+
+
+def fresh_path_state(o, d):
+    """Initial per-lane path state for freshly generated rays
+    (trace.rs:9-11)."""
+    N = o.shape[0]
+    return (
+        o,
+        d,
+        jnp.ones((N, 3)),
+        jnp.zeros((N, 3)),
+        jnp.ones(N, bool),
+        jnp.ones(N, bool),  # trace.rs:11: first light hit counts
+        jnp.full(N, KIND_NONE, jnp.int32),
+        jnp.zeros(N, jnp.int32),
+    )
+
+
 def trace_rays(
     static: SceneStatic,
     scene: SceneArrays,
@@ -308,14 +466,13 @@ def trace_rays(
 ) -> jnp.ndarray:
     """Estimate radiance along N rays.  Pure, jit-able, differentiable in
     ``scene``'s continuous parameters.  Returns (N, 3)."""
-    N = ray_o.shape[0]
     seed = jnp.asarray(seed).astype(jnp.uint32)
-    env_nee = static.env_nee and static.sky_type == SK.HDRI
 
     def u(bounce, dim):
         return H.uniform(
             seed, pixel_id, sample_id,
-            bounce.astype(jnp.uint32) * jnp.uint32(H.DIMS_PER_BOUNCE) + jnp.uint32(dim),
+            jnp.asarray(bounce).astype(jnp.uint32) * jnp.uint32(H.DIMS_PER_BOUNCE)
+            + jnp.uint32(dim),
         )
 
     def body(bounce, state):
@@ -323,146 +480,13 @@ def trace_rays(
         # ~3 on), skip the remaining bounce iterations entirely.  The
         # predicate is a scalar so lax.cond stays jit-able under SPMD.
         alive = state[4]
-        return lax.cond(jnp.any(alive), lambda s: _step(bounce, s), lambda s: s, state)
-
-    def _step(bounce, state):
-        (o, d, throughput, colour, alive, last_spec, excl_kind, excl_idx) = state
-
-        hit = intersect_full(static, scene, o, d, excl_kind, excl_idx)
-
-        # Miss -> skybox, evaluated at -direction (trace.rs:18-23).  With
-        # environment NEE active, diffuse-bounce misses are already covered
-        # by the env samples, so the escaping ray only collects the sky on a
-        # specular previous bounce -- the same double-counting rule the
-        # reference applies to area lights (trace.rs:30-41).
-        sky_col = SK.ambient_light(static.sky_type, scene.sky, -d)
-        miss = alive & ~hit["found"]
-        if env_nee:
-            miss = miss & last_spec
-        colour = colour + jnp.where(miss[..., None], throughput * sky_col, 0.0)
-        alive = alive & hit["found"]
-
-        # Facing check (trace.rs:25-28): cos_in = d . -n must be > 0.
-        normal = hit["normal"]
-        cos_in = vec.dot(d, -normal)
-        alive = alive & (cos_in > 0.0)
-
-        # Direct light hit (trace.rs:30-41): accumulate only on specular
-        # previous bounce (NEE covers the rest); path ends either way.
-        is_light = scene.ent_is_light[hit["ent"]]
-        light_gain = alive & is_light & last_spec
-        colour = colour + jnp.where(
-            light_gain[..., None],
-            throughput * scene.ent_light_emission[hit["ent"]],
-            0.0,
-        )
-        alive = alive & ~is_light
-
-        mat = _gather_material(static, scene, hit["ent"], hit["kind"], hit["vtx_colour"])
-        location = hit["location"]
-        vec_out = -d
-
-        # ---- Next Event Estimation (trace.rs:52-81) ----
-        if static.n_lights > 0:
-            u_pick = u(bounce, H.DIM_LIGHT_PICK)
-            li = jnp.minimum(
-                (u_pick * static.n_lights).astype(jnp.int32), static.n_lights - 1
-            )
-            light = _gather_light(scene, li)
-            in_dir, inv_pdf, max_dist = LT.sample(
-                light, location, u(bounce, H.DIM_LIGHT_U), u(bounce, H.DIM_LIGHT_V)
-            )
-            shadow_dir = -in_dir
-            shadow_o = location + normal * SHADOW_EPS
-            s_found, _, _, s_ent, s_t = intersect_brief(
-                static, scene, shadow_o, shadow_dir, hit["kind"], hit["idx"]
-            )
-            is_point = light["ltype"] == LT.POINT
-            occluded = jnp.where(
-                is_point,
-                s_found & (s_t < max_dist),
-                s_found & (s_ent != light["ent_id"]),
-            )
-            cos_theta = jnp.maximum(0.0, vec.dot(normal, shadow_dir))
-            brdf = M.eval_brdf(mat, vec_out, -shadow_dir, normal)
-            direct = (
-                light["colour"]
-                * light["intensity"][..., None]
-                * brdf
-                * inv_pdf[..., None]
-            )
-            ok = alive & ~occluded & (cos_theta > 0.0)
-            colour = colour + jnp.where(ok[..., None], direct * throughput, 0.0)
-
-        # ---- Environment NEE (capability extension; SURVEY.md section 7
-        # stage 5: 2D-CDF importance sampling of the HDRI for direct
-        # lighting, where the reference only collects skybox on miss) ----
-        if env_nee:
-            e_dir, e_inv_pdf, e_rad = SK.sample_env(
-                scene.sky,
-                u(bounce, H.DIM_ENV_CDF),
-                u(bounce, H.DIM_ENV_JX),
-                u(bounce, H.DIM_ENV_JY),
-            )
-            e_shadow_dir = -e_dir  # surface -> sky
-            e_shadow_o = location + normal * SHADOW_EPS
-            e_found, _, _, _, _ = intersect_brief(
-                static, scene, e_shadow_o, e_shadow_dir, hit["kind"], hit["idx"]
-            )
-            e_cos = vec.dot(normal, e_shadow_dir)
-            e_brdf = M.eval_brdf(mat, vec_out, e_dir, normal)
-            e_direct = e_rad * e_brdf * e_inv_pdf[..., None]
-            e_ok = alive & ~e_found & (e_cos > 0.0)
-            colour = colour + jnp.where(e_ok[..., None], e_direct * throughput, 0.0)
-
-        # ---- BSDF sample & bounce (trace.rs:84-101) ----
-        new_dir, pdf, brdf, is_spec = M.sample(
-            mat, vec_out, normal,
-            u(bounce, H.DIM_LOBE), u(bounce, H.DIM_BSDF_U), u(bounce, H.DIM_BSDF_V),
-        )
-        pdf_safe = jnp.where(pdf == 0.0, 1.0, pdf)
-        attenuation = jnp.where(
-            (pdf == 0.0)[..., None], 0.0, brdf / pdf_safe[..., None]
-        )
-        new_throughput = throughput * attenuation
-        dead = vec.max_component(new_throughput) <= 0.0  # trace.rs:96-98
-
-        emit = M.emittance(mat)  # trace.rs:100-101 (post-attenuation T)
-        colour = colour + jnp.where(
-            (alive & ~dead)[..., None], emit * new_throughput, 0.0
+        return lax.cond(
+            jnp.any(alive),
+            lambda s: path_step(static, scene, bounce, s, u),
+            lambda s: s,
+            state,
         )
 
-        # Russian roulette from bounce 2 (trace.rs:103-111).
-        survival = vec.max_component(new_throughput)
-        u_rr = u(bounce, H.DIM_RR)
-        rr_active = bounce >= RR_START
-        rr_kill = rr_active & (u_rr > survival)
-        survival_safe = jnp.where(survival == 0.0, 1.0, survival)
-        new_throughput = jnp.where(
-            (rr_active & ~rr_kill)[..., None],
-            new_throughput / survival_safe[..., None],
-            new_throughput,
-        )
-
-        step_alive = alive & ~dead & ~rr_kill
-        throughput = jnp.where(step_alive[..., None], new_throughput, throughput)
-        o = jnp.where(step_alive[..., None], location + normal * SHADOW_EPS, o)
-        d = jnp.where(step_alive[..., None], new_dir, d)
-        last_spec = jnp.where(step_alive, is_spec, last_spec)
-        excl_kind = jnp.where(step_alive, hit["kind"], excl_kind)
-        excl_idx = jnp.where(step_alive, hit["idx"], excl_idx)
-
-        return (o, d, throughput, colour, step_alive, last_spec, excl_kind, excl_idx)
-
-    state = (
-        ray_o,
-        ray_d,
-        jnp.ones((N, 3)),
-        jnp.zeros((N, 3)),
-        jnp.ones(N, bool),
-        jnp.ones(N, bool),  # trace.rs:11: first light hit counts
-        jnp.full(N, KIND_NONE, jnp.int32),
-        jnp.zeros(N, jnp.int32),
-    )
+    state = fresh_path_state(ray_o, ray_d)
     state = lax.fori_loop(0, static.max_bounces + 1, body, state)
     return state[3]

@@ -40,6 +40,18 @@ _SQUARE_TAG = 0x5153
 _DISK_TAG = 0xD15C
 
 
+def gen_camera_rays(cam: C.Camera, px, py, pixel_id, sample_id, seed):
+    """Primary rays for (pixel, sample) lanes: CMJ sensor jitter + CMJ lens
+    point -> thin-lens ray (worker.rs:68-77).  Returns (o, d, weight)."""
+    s = sample_id % jnp.uint32(PAT_M * PAT_N)
+    batch = sample_id // jnp.uint32(PAT_M * PAT_N)
+    p_sq = H.hash_u32(seed, pixel_id, batch, _SQUARE_TAG)
+    p_dk = H.hash_u32(seed, pixel_id, batch, _DISK_TAG)
+    sq = cmj.cmj_square(s, PAT_M, PAT_N, p_sq)
+    dk = cmj.cmj_disk(s, PAT_M, PAT_N, p_dk)
+    return C.get_rays(cam, px, py, sq, dk)
+
+
 def render_wave(
     static,
     scene,
@@ -52,13 +64,7 @@ def render_wave(
 ) -> jnp.ndarray:
     """Radiance estimates for one sample of N pixels: (N, 3)."""
     seed = jnp.asarray(seed).astype(jnp.uint32)
-    s = sample_id % jnp.uint32(PAT_M * PAT_N)
-    batch = sample_id // jnp.uint32(PAT_M * PAT_N)
-    p_sq = H.hash_u32(seed, pixel_id, batch, _SQUARE_TAG)
-    p_dk = H.hash_u32(seed, pixel_id, batch, _DISK_TAG)
-    sq = cmj.cmj_square(s, PAT_M, PAT_N, p_sq)
-    dk = cmj.cmj_disk(s, PAT_M, PAT_N, p_dk)
-    o, d, w = C.get_rays(cam, px, py, sq, dk)
+    o, d, w = gen_camera_rays(cam, px, py, pixel_id, sample_id, seed)
     col = I.trace_rays(static, scene, o, d, pixel_id, sample_id, seed)
     return col * w[..., None]  # worker.rs:77: sample = trace * weight
 
@@ -71,16 +77,98 @@ def _render_wave_jit(static, scene, cam, px, py, pixel_id, sample_id, seed):
 def render_samples(
     static, scene, cam, px, py, pixel_id, sample_start, n_samples: int, seed
 ):
-    """Sum of `n_samples` consecutive radiance samples per pixel lane, looped
-    on-device (one dispatch instead of n_samples)."""
-    import jax.lax as lax
+    """Sum of `n_samples` consecutive radiance samples per pixel lane, as one
+    on-device *regenerating wavefront*.
 
-    def body(i, acc):
-        sid = (sample_start + i).astype(jnp.uint32) * jnp.ones_like(pixel_id)
-        return acc + render_wave(static, scene, cam, px, py, pixel_id, sid, seed)
+    The naive schedule (fori over samples x fori over 11 bounces, the
+    reference's per-ray recursion flattened) runs every bounce iteration for
+    the whole wave even though most paths die after 2-3 bounces -- on SPMD
+    hardware the dead lanes still cost full time.  Here each lane carries its
+    own (sample slot, bounce) and the moment a path terminates the lane
+    accumulates the finished sample and immediately starts the next sample's
+    camera ray ("path regeneration"), so every while-loop iteration does
+    useful intersection/shading work on ~every lane.  Total iterations per
+    lane ~= n_samples * mean_path_length + tail, vs n_samples * 11 for the
+    fixed schedule.
 
-    acc = jnp.zeros((px.shape[0], 3))
-    return lax.fori_loop(0, n_samples, body, acc)
+    RNG identity is (pixel_id, sample_id, bounce, dim) exactly as in
+    render_wave, so the result equals the sum of the n_samples individual
+    waves (same paths, same decisions) up to float addition order.
+
+    Forward-only: uses lax.while_loop, so not reverse-differentiable.
+    Gradients go through render_wave / trace_rays (fixed schedule).
+    """
+    from jax import lax
+
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    N = px.shape[0]
+    max_b = static.max_bounces + 1  # trace.rs:14: 11 segment iterations
+    s_start = jnp.asarray(sample_start).astype(jnp.uint32)
+    n_total = jnp.uint32(n_samples)
+
+    def u_for(sample_slot):
+        sid = s_start + sample_slot
+
+        def u(bounce, dim):
+            return H.uniform(
+                seed, pixel_id, sid,
+                jnp.asarray(bounce).astype(jnp.uint32)
+                * jnp.uint32(H.DIMS_PER_BOUNCE) + jnp.uint32(dim),
+            )
+
+        return u
+
+    def regen(slot):
+        """Camera rays + fresh path state for per-lane sample slot."""
+        sid = s_start + slot
+        o, d, w = gen_camera_rays(cam, px, py, pixel_id, sid, seed)
+        return I.fresh_path_state(o, d), w
+
+    state0, w0 = regen(jnp.zeros(N, jnp.uint32))
+    carry0 = (
+        jnp.zeros((N, 3)),           # acc: finished-sample sum
+        jnp.zeros(N, jnp.uint32),    # per-lane sample slot
+        jnp.zeros(N, jnp.uint32),    # per-lane bounce
+        w0,                          # per-lane sensor weight
+        jnp.zeros(N, bool),          # done: all samples consumed
+        state0,
+    )
+
+    def cond(carry):
+        return ~jnp.all(carry[4])
+
+    def body(carry):
+        acc, slot, bounce, w, done, state = carry
+        state = I.path_step(static, scene, bounce, state, u_for(slot))
+        bounce = bounce + 1
+        alive = state[4]
+        finished = ~done & (~alive | (bounce >= max_b))
+
+        # Bank the finished sample (worker.rs:77: sample = trace * weight).
+        colour = state[3]
+        acc = acc + jnp.where(finished[..., None], colour * w[..., None], 0.0)
+
+        # Advance to the next sample slot; regenerate or retire the lane.
+        slot = jnp.where(finished, slot + 1, slot)
+        done = done | (finished & (slot >= n_total))
+        start_new = finished & ~done
+        fresh, w_new = regen(slot)
+        bounce = jnp.where(start_new, 0, bounce)
+        w = jnp.where(start_new, w_new, w)
+
+        def sel(new, old):
+            m = start_new
+            if new.ndim == old.ndim == 2:
+                m = m[..., None]
+            return jnp.where(m, new, old)
+
+        state = tuple(sel(n, o) for n, o in zip(fresh, state))
+        # Retired lanes must not keep tracing: force dead.
+        state = state[:4] + (state[4] & ~done,) + state[5:]
+        return (acc, slot, bounce, w, done, state)
+
+    carry = lax.while_loop(cond, body, carry0)
+    return carry[0]
 
 
 @partial(jax.jit, static_argnums=(0, 7))
