@@ -21,7 +21,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
-LEAF_SIZE = 4
+# Leaf size matches the Pallas chunked layout's row width (one leaf = one
+# 8-slot triangle row, ops/pallas_traverse.PACK_LEAF).
+LEAF_SIZE = 8
 N_BINS = 16
 
 

@@ -1,0 +1,539 @@
+"""Pallas TPU packet BVH traversal with the whole tree resident in VMEM.
+
+Why not the XLA gather loop (bvh/traverse.py)?  Measured on the target chip,
+one XLA gather over a 345k-lane wave costs ~1.4ms nearly independent of row
+width (latency-bound random HBM access), and the per-lane skip-link loop
+needs ~19 gathers per iteration over hundreds of lockstep iterations --
+teapot renders at 47k rays/s.  A TPU has no per-lane VMEM gather (Mosaic
+supports dynamic gathers only within one (8,128) tile), so the TPU-native
+formulation is *packet* traversal: each (8,128) block of rays shares ONE
+scalar cursor walking the same skip-link tree (bvh.rs:78-141's stack loop,
+re-shaped for SIMD):
+
+    cursor = any-lane-hit(AABB) ? hit_link : miss_link
+
+All node/triangle reads are dynamic *row* reads (one (1,128) vector load)
+with static column extracts -- no gathers, no HBM traffic after the one-time
+DMA of the tree into VMEM.  Cost model: a block visits the union of its
+rays' node sets, so coherent packets (primary, shadow) traverse near
+per-ray-optimally while fully incoherent packets degrade toward brute force
+-- but brute force over VMEM at VPU speed, about three orders of magnitude
+faster than the gather loop.
+
+Memory layout (built by pack_bvh):
+  nodes: (M, 128) f32 rows, one node per row:
+     [0:3] aabb min, [3:6] aabb max, [6] hit_link, [7] miss_link,
+     [8] leaf row index into tris, [9] prim count (0 for inner)
+  tris: (R, 128) f32 rows, one LEAF (8 triangle slots of 16 floats) per row:
+     per slot [v0.xyz v1.xyz v2.xyz n.xyz gid area_abc pad pad]; empty slots
+     are degenerate (n = 0 -> cos_theta == 0 -> never hit).
+Links/ids are stored as f32 (exact below 2^24 -- far beyond the builder's
+node-count panic threshold, bvh.rs:170-171).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PACK_LEAF = 8          # triangle slots per leaf row
+TRI_STRIDE = 16        # floats per triangle slot
+BLOCK = (8, 128)       # rays per program
+BLOCK_N = BLOCK[0] * BLOCK[1]
+BIG = np.float32(3.4e38)
+# VMEM budget for nodes+tris (leave headroom for ray blocks / double
+# buffering out of ~16MB).
+VMEM_LIMIT_BYTES = 10 * 1024 * 1024
+
+
+class PackedBvh(NamedTuple):
+    nodes: jnp.ndarray  # (M, 128) f32
+    tris: jnp.ndarray   # (R, 128) f32
+
+
+def vmem_bytes(n_tris: int, n_nodes: int) -> int:
+    rows = -(-n_tris // PACK_LEAF)
+    return (n_nodes + rows) * 128 * 4
+
+
+def pack_bvh(flat, v0, v1, v2, n, ent=None) -> PackedBvh:
+    """Pack a FlatBvh (built with leaf_size == PACK_LEAF) + reordered
+    triangle arrays into the kernel layout.  v0/v1/v2/n are (T, 3) in
+    flat.order layout (the same layout SceneArrays uses), so the gid written
+    into each slot indexes those arrays directly.  ent (T,) entity ids ride
+    in slot col 14 so hit resolution needs no separate gather."""
+    if ent is None:
+        ent = np.zeros(len(np.asarray(v0)), np.int64)
+    is_leaf = flat.prim_count > 0
+    leaf_ids = np.cumsum(is_leaf) - 1  # node -> its leaf row
+    n_leaves = int(is_leaf.sum())
+
+    M = flat.n_nodes
+    nodes = np.zeros((M, 128), np.float32)
+    nodes[:, 0:3] = flat.node_min
+    nodes[:, 3:6] = flat.node_max
+    nodes[:, 6] = flat.hit_link
+    nodes[:, 7] = flat.miss_link
+    nodes[:, 8] = np.where(is_leaf, leaf_ids, 0)
+    nodes[:, 9] = flat.prim_count
+
+    tris = np.zeros((max(n_leaves, 1), 128), np.float32)
+    tris[:, 12::TRI_STRIDE] = -1.0  # gid = -1 in empty slots
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    e1 = np.asarray(v1) - np.asarray(v0)
+    e2 = np.asarray(v2) - np.asarray(v0)
+    area = np.einsum("ij,ij->i", np.asarray(n), np.cross(e1, e2))
+    for nd in leaf_nodes:
+        row = leaf_ids[nd]
+        start = flat.prim_start[nd]
+        for k in range(flat.prim_count[nd]):
+            g = start + k
+            c = k * TRI_STRIDE
+            tris[row, c : c + 3] = v0[g]
+            tris[row, c + 3 : c + 6] = v1[g]
+            tris[row, c + 6 : c + 9] = v2[g]
+            tris[row, c + 9 : c + 12] = n[g]
+            tris[row, c + 12] = g
+            tris[row, c + 13] = area[g]
+            tris[row, c + 14] = ent[g]
+    return PackedBvh(nodes=jnp.asarray(tris_pad(nodes)), tris=jnp.asarray(tris_pad(tris)))
+
+
+def tris_pad(a: np.ndarray) -> np.ndarray:
+    """Pad rows to a multiple of 8 (f32 sublane tile)."""
+    r = (-len(a)) % 8
+    if r:
+        a = np.pad(a, ((0, r), (0, 0)))
+    return a
+
+
+def _kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, excl, tinit,
+            tout, iout, eout):
+    o = (ox[:], oy[:], oz[:])
+    d = (dx[:], dy[:], dz[:])
+    inv = tuple(1.0 / c for c in d)
+    excl_i = excl[:]
+    t_init = tinit[:]
+
+    def bcast(row, j):
+        return jnp.broadcast_to(row[0, j], BLOCK)
+
+    def body(carry):
+        cursor, t_best, i_best, e_best = carry
+        row = nodes_ref[pl.ds(cursor, 1), :]  # (1, 128)
+
+        # Slab test (bvh.rs:8-21) against the shared node, per lane.
+        tmin = jnp.full(BLOCK, -BIG)
+        tmax = jnp.full(BLOCK, BIG)
+        for ax in range(3):
+            t0 = (bcast(row, ax) - o[ax]) * inv[ax]
+            t1 = (bcast(row, 3 + ax) - o[ax]) * inv[ax]
+            tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+            tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+        lane_hit = (tmin < tmax) & (tmin < t_best) & (tmax > 0.0)
+        any_hit = jnp.any(lane_hit)
+
+        count = row[0, 9].astype(jnp.int32)
+        is_leaf_hit = any_hit & (count > 0)
+
+        def leaf(t_best, i_best, e_best):
+            leaf_row = row[0, 8].astype(jnp.int32)
+            tr = tris_ref[pl.ds(leaf_row, 1), :]  # (1, 128): 8 tri slots
+            return _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best)
+
+        t_best, i_best, e_best = lax.cond(
+            is_leaf_hit, leaf, lambda t, i, e: (t, i, e), t_best, i_best, e_best
+        )
+
+        hit_link = row[0, 6].astype(jnp.int32)
+        miss_link = row[0, 7].astype(jnp.int32)
+        cursor = jnp.where(any_hit, hit_link, miss_link)
+        return cursor, t_best, i_best, e_best
+
+    def cond(carry):
+        return carry[0] >= 0
+
+    cursor0 = jnp.int32(0)
+    zero = jnp.zeros(BLOCK, jnp.int32)
+    state = (cursor0, t_init, zero, zero)
+    _, t_best, i_best, e_best = lax.while_loop(cond, body, state)
+    tout[:] = jnp.where(t_best < t_init, t_best, BIG)
+    iout[:] = i_best
+    eout[:] = e_best
+
+
+ROWS_PER_CHUNK = 32  # 256 triangles per cullable chunk
+
+
+class ChunkedTris(NamedTuple):
+    """Array-only pytree (the static chunk count travels in SceneStatic)."""
+
+    tris: jnp.ndarray       # (R, 128) f32 leaf-row layout (see pack_bvh)
+    chunk_meta: jnp.ndarray  # (C, 128) f32: [aabb min xyz, max xyz, row0, nrows]
+
+
+def pack_chunked(flat, v0, v1, v2, n, ent=None,
+                 rows_per_chunk: int = ROWS_PER_CHUNK):
+    """Chunked layout for closest_hit_chunked: the BVH's leaf-row order (a
+    spatial sort) cut into fixed row ranges, each with its AABB.  The BVH
+    tree itself is discarded -- only its ordering quality matters here."""
+    pb = pack_bvh(flat, v0, v1, v2, n, ent)
+    tris = np.asarray(pb.tris)
+    # One row per BVH *leaf* (leaves may be underfull, so R >= ceil(T/8)).
+    R = max(int((flat.prim_count > 0).sum()), 1)
+    n_chunks = -(-R // rows_per_chunk)
+    meta = np.zeros((n_chunks, 128), np.float32)
+    for c in range(n_chunks):
+        r0 = c * rows_per_chunk
+        r1 = min(r0 + rows_per_chunk, R)
+        block = tris[r0:r1]
+        pts = []
+        for k in range(PACK_LEAF):
+            s = k * TRI_STRIDE
+            live = block[:, s + 12] >= 0
+            for off in (0, 3, 6):
+                pts.append(block[live][:, s + off : s + off + 3])
+        pts = np.concatenate([p for p in pts if len(p)], axis=0)
+        meta[c, 0:3] = pts.min(0)
+        meta[c, 3:6] = pts.max(0)
+        meta[c, 6] = r0
+        meta[c, 7] = r1 - r0
+    return ChunkedTris(
+        tris=jnp.asarray(tris),
+        chunk_meta=jnp.asarray(tris_pad(meta)),
+    ), n_chunks
+
+
+def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best):
+    """Test the PACK_LEAF triangle slots of row value `tr` ((1,128)) against
+    the ray block.  Shared by the packet and chunked kernels."""
+    def bcast(j):
+        return jnp.broadcast_to(tr[0, j], BLOCK)
+
+    for k in range(PACK_LEAF):
+        c = k * TRI_STRIDE
+        v0 = [bcast(c + j) for j in range(3)]
+        v1 = [bcast(c + 3 + j) for j in range(3)]
+        v2 = [bcast(c + 6 + j) for j in range(3)]
+        nrm = [bcast(c + 9 + j) for j in range(3)]
+        gid = tr[0, c + 12].astype(jnp.int32)
+        area = bcast(c + 13)
+        ent = tr[0, c + 14].astype(jnp.int32)
+
+        cos = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
+        dd_ = nrm[0] * v0[0] + nrm[1] * v0[1] + nrm[2] * v0[2]
+        n_o = nrm[0] * o[0] + nrm[1] * o[1] + nrm[2] * o[2]
+        denom = jnp.where(cos == 0.0, 1.0, cos)
+        t = (dd_ - n_o) / denom
+        p = [o[j] + d[j] * t for j in range(3)]
+
+        def cross_dot_n(a, b):
+            cx = a[1] * b[2] - a[2] * b[1]
+            cy = a[2] * b[0] - a[0] * b[2]
+            cz = a[0] * b[1] - a[1] * b[0]
+            return nrm[0] * cx + nrm[1] * cy + nrm[2] * cz
+
+        pb = [v1[j] - p[j] for j in range(3)]
+        pc = [v2[j] - p[j] for j in range(3)]
+        pa = [v0[j] - p[j] for j in range(3)]
+        area_pbc = cross_dot_n(pb, pc)
+        area_pca = cross_dot_n(pc, pa)
+        denom_a = jnp.where(area == 0.0, 1.0, area)
+        bx = area_pbc / denom_a
+        by = area_pca / denom_a
+        bz = 1.0 - bx - by
+
+        ok = (
+            (cos != 0.0)
+            & (t >= 0.0)
+            & jnp.isfinite(t)
+            & (bx >= 0.0)
+            & (by >= 0.0)
+            & (bz >= 0.0)
+            & (area != 0.0)
+            & (t < t_best)
+            & (gid != excl_i)
+            & (gid >= 0)
+        )
+        t_best = jnp.where(ok, t, t_best)
+        i_best = jnp.where(ok, gid, i_best)
+        e_best = jnp.where(ok, ent, e_best)
+    return t_best, i_best, e_best
+
+
+def _make_chunked_kernel(n_chunks: int):
+    def kernel(meta_ref, tris_ref, ox, oy, oz, dx, dy, dz, excl, tinit,
+               tout, iout, eout):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        inv = tuple(1.0 / c for c in d)
+        excl_i = excl[:]
+        t_best = tinit[:]
+        i_best = jnp.zeros(BLOCK, jnp.int32)
+        e_best = jnp.zeros(BLOCK, jnp.int32)
+
+        for c in range(n_chunks):  # static unroll: culling tree of conds
+            def bc(j):
+                return jnp.broadcast_to(meta_ref[c, j], BLOCK)
+
+            tmin = jnp.full(BLOCK, -BIG)
+            tmax = jnp.full(BLOCK, BIG)
+            for ax in range(3):
+                t0 = (bc(ax) - o[ax]) * inv[ax]
+                t1 = (bc(3 + ax) - o[ax]) * inv[ax]
+                tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+                tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+            any_hit = jnp.any((tmin < tmax) & (tmin < t_best) & (tmax > 0.0))
+
+            r0 = meta_ref[c, 6].astype(jnp.int32)
+            nr = meta_ref[c, 7].astype(jnp.int32)
+
+            def do_chunk(tb, ib, eb):
+                def row_body(r, carry):
+                    tb, ib, eb = carry
+                    tr = tris_ref[pl.ds(r, 1), :]
+                    return _tri_row_test(tr, o, d, excl_i, tb, ib, eb)
+
+                return lax.fori_loop(r0, r0 + nr, row_body, (tb, ib, eb))
+
+            t_best, i_best, e_best = lax.cond(
+                any_hit, do_chunk, lambda tb, ib, eb: (tb, ib, eb),
+                t_best, i_best, e_best,
+            )
+
+        tout[:] = jnp.where(t_best < tinit[:], t_best, BIG)
+        iout[:] = i_best
+        eout[:] = e_best
+
+    return kernel
+
+
+def closest_hit_chunked(ct: ChunkedTris, n_chunks: int, o, d, excl_idx, t_init,
+                        interpret=False):
+    """Closest triangle hit via culled-chunk brute force over VMEM.
+
+    The BVH-ordered triangle rows are cut into AABB-guarded chunks; each
+    (8,128) ray block slab-tests a chunk (vector math against statically
+    indexed metadata -- no gathers, no dynamic scalar reads) and skips it
+    with a scalar cond when no lane can hit.  Coherent blocks touch a few
+    chunks; fully incoherent blocks degrade to VMEM-speed brute force, which
+    still beats per-node packet stepping because the per-iteration scalar
+    overhead amortises over 256 triangles."""
+    return _launch_chunked(
+        _make_chunked_kernel(n_chunks), ct.chunk_meta, ct.tris,
+        o, d, excl_idx, t_init, interpret,
+    )
+
+
+SPH_STRIDE = 8   # floats per sphere slot
+SPH_PER_ROW = 128 // SPH_STRIDE  # 16
+
+
+def pack_spheres_chunked(centers, radii, ent=None, gid0: int = 0,
+                         rows_per_chunk: int = 16):
+    """Pack spheres (numpy (S,3), (S,)) into chunked rows for
+    closest_hit_spheres.  Slot layout: [cx cy cz r^2 gid 0 0 0]; empty slots
+    have r^2 = -1 (disc = b^2 - (oc.oc + 1) < 0 always misses).  Spheres are
+    morton-sorted so chunk AABBs stay tight.  gid written = gid0 + position
+    in the SORTED order; returns (ChunkedTris, n_chunks, order)."""
+    S = len(radii)
+    c = np.asarray(centers, np.float64)
+    r = np.asarray(radii, np.float64)
+    if ent is None:
+        ent = np.zeros(S, np.int64)
+    ent = np.asarray(ent)
+    # Morton-ish sort for chunk locality (BVH-order equivalent for spheres).
+    lo, hi = c.min(0), c.max(0)
+    ext = np.where(hi - lo > 0, hi - lo, 1.0)
+    q = np.clip(((c - lo) / ext * 1023).astype(np.int64), 0, 1023)
+
+    def spread(x):
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    order = np.argsort(spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2))
+    c, r, ent = c[order], r[order], ent[order]
+
+    R = -(-S // SPH_PER_ROW)
+    rows = np.zeros((max(R, 1), 128), np.float32)
+    rows[:, 3::SPH_STRIDE] = -1.0  # r^2 = -1 in empty slots
+    rows[:, 4::SPH_STRIDE] = -1.0
+    for i in range(S):
+        row, slot = divmod(i, SPH_PER_ROW)
+        s = slot * SPH_STRIDE
+        rows[row, s : s + 3] = c[i]
+        rows[row, s + 3] = r[i] * r[i]
+        rows[row, s + 4] = gid0 + i
+        rows[row, s + 5] = ent[i]
+
+    n_chunks = -(-R // rows_per_chunk)
+    meta = np.zeros((n_chunks, 128), np.float32)
+    for k in range(n_chunks):
+        i0 = k * rows_per_chunk * SPH_PER_ROW
+        i1 = min(i0 + rows_per_chunk * SPH_PER_ROW, S)
+        cc, rr = c[i0:i1], r[i0:i1, None]
+        meta[k, 0:3] = (cc - rr).min(0)
+        meta[k, 3:6] = (cc + rr).max(0)
+        meta[k, 6] = k * rows_per_chunk
+        meta[k, 7] = min((k + 1) * rows_per_chunk, R) - k * rows_per_chunk
+    return (
+        ChunkedTris(tris=jnp.asarray(tris_pad(rows)),
+                    chunk_meta=jnp.asarray(tris_pad(meta))),
+        n_chunks,
+        order,
+    )
+
+
+def _sphere_row_test(sr, o, d, excl_i, t_best, i_best, e_best):
+    """Test SPH_PER_ROW sphere slots of row value `sr` ((1,128)) against the
+    ray block.  Matches geom/sphere.py's semantics (geom.rs:208-235) in plain
+    f32 -- callers must route large/far spheres to the double-single path."""
+    def bcast(j):
+        return jnp.broadcast_to(sr[0, j], BLOCK)
+
+    for k in range(SPH_PER_ROW):
+        s = k * SPH_STRIDE
+        cx, cy, cz, r2 = bcast(s), bcast(s + 1), bcast(s + 2), bcast(s + 3)
+        gid = sr[0, s + 4].astype(jnp.int32)
+        ent = sr[0, s + 5].astype(jnp.int32)
+        ocx = o[0] - cx
+        ocy = o[1] - cy
+        ocz = o[2] - cz
+        b = d[0] * ocx + d[1] * ocy + d[2] * ocz
+        c2 = ocx * ocx + ocy * ocy + ocz * ocz - r2
+        disc = b * b - c2
+        root = jnp.sqrt(jnp.maximum(disc, 0.0))
+        d1 = -b + root
+        d2 = -b - root
+        t = jnp.where(d2 > 0.0, d2, d1)
+        ok = (
+            (disc >= 0.0)
+            & (d1 >= 0.0)
+            & (t < t_best)
+            & (gid != excl_i)
+            & (gid >= 0)
+        )
+        t_best = jnp.where(ok, t, t_best)
+        i_best = jnp.where(ok, gid, i_best)
+        e_best = jnp.where(ok, ent, e_best)
+    return t_best, i_best, e_best
+
+
+def _make_chunked_sphere_kernel(n_chunks: int):
+    def kernel(meta_ref, sph_ref, ox, oy, oz, dx, dy, dz, excl, tinit,
+               tout, iout, eout):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        inv = tuple(1.0 / c for c in d)
+        excl_i = excl[:]
+        t_best = tinit[:]
+        i_best = jnp.zeros(BLOCK, jnp.int32)
+        e_best = jnp.zeros(BLOCK, jnp.int32)
+
+        for c in range(n_chunks):
+            def bc(j):
+                return jnp.broadcast_to(meta_ref[c, j], BLOCK)
+
+            tmin = jnp.full(BLOCK, -BIG)
+            tmax = jnp.full(BLOCK, BIG)
+            for ax in range(3):
+                t0 = (bc(ax) - o[ax]) * inv[ax]
+                t1 = (bc(3 + ax) - o[ax]) * inv[ax]
+                tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+                tmax = jnp.minimum(tmax, jnp.maximum(t0, t1))
+            any_hit = jnp.any((tmin < tmax) & (tmin < t_best) & (tmax > 0.0))
+
+            r0 = meta_ref[c, 6].astype(jnp.int32)
+            nr = meta_ref[c, 7].astype(jnp.int32)
+
+            def do_chunk(tb, ib, eb):
+                def row_body(r, carry):
+                    tb, ib, eb = carry
+                    sr = sph_ref[pl.ds(r, 1), :]
+                    return _sphere_row_test(sr, o, d, excl_i, tb, ib, eb)
+
+                return lax.fori_loop(r0, r0 + nr, row_body, (tb, ib, eb))
+
+            t_best, i_best, e_best = lax.cond(
+                any_hit, do_chunk, lambda tb, ib, eb: (tb, ib, eb),
+                t_best, i_best, e_best,
+            )
+
+        tout[:] = jnp.where(t_best < tinit[:], t_best, BIG)
+        iout[:] = i_best
+        eout[:] = e_best
+
+    return kernel
+
+
+def _launch_chunked(kernel, meta, table, o, d, excl_idx, t_init, interpret):
+    N = o.shape[0]
+    npad = -(-N // BLOCK_N) * BLOCK_N
+    grid = npad // BLOCK_N
+
+    def prep(x, fill):
+        x = jnp.concatenate([x, jnp.full(npad - N, fill, x.dtype)]) if npad != N else x
+        return x.reshape(grid * BLOCK[0], BLOCK[1])
+
+    args = (
+        prep(lax.stop_gradient(o[:, 0]), 1e30),
+        prep(lax.stop_gradient(o[:, 1]), 1e30),
+        prep(lax.stop_gradient(o[:, 2]), 1e30),
+        prep(lax.stop_gradient(d[:, 0]), 1.0),
+        prep(lax.stop_gradient(d[:, 1]), 1.0),
+        prep(lax.stop_gradient(d[:, 2]), 1.0),
+        prep(excl_idx.astype(jnp.int32), -1),
+        prep(lax.stop_gradient(t_init.astype(jnp.float32)), 0.0),
+    )
+    ray_spec = pl.BlockSpec(BLOCK, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tree_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    t_out, i_out, e_out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[tree_spec, tree_spec] + [ray_spec] * 8,
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.float32),
+            jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.int32),
+            jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.int32),
+        ),
+        interpret=interpret,
+    )(lax.stop_gradient(meta), lax.stop_gradient(table), *args)
+    return (t_out.reshape(npad)[:N], i_out.reshape(npad)[:N],
+            e_out.reshape(npad)[:N])
+
+
+def closest_hit_spheres(cs: ChunkedTris, n_chunks: int, o, d, excl_idx, t_init,
+                        interpret=False):
+    """Closest small-sphere hit via culled-chunk brute force over VMEM.
+    Same contract as closest_hit_chunked (t == BIG where nothing beat
+    t_init); indices are global sphere ids as packed."""
+    return _launch_chunked(
+        _make_chunked_sphere_kernel(n_chunks), cs.chunk_meta, cs.tris,
+        o, d, excl_idx, t_init, interpret,
+    )
+
+
+def closest_hit_packet(pt: PackedBvh, o, d, excl_idx, t_init, interpret=False):
+    """Closest triangle hit for N rays via VMEM packet traversal.
+
+    o, d: (N, 3); excl_idx: (N,) triangle to skip (-1 none); t_init: (N,)
+    current best (cross-primitive pruning, like bvh/traverse.py).
+    Returns (t, idx, ent): t == BIG where nothing beat t_init.
+
+    Traversal is discrete -- outputs carry no gradients (stop_gradient), the
+    caller re-derives differentiable shading quantities at the returned
+    index (SURVEY.md section 7: BVH as non-differentiable selector).
+    """
+    return _launch_chunked(
+        _kernel, pt.nodes, pt.tris, o, d, excl_idx, t_init, interpret,
+    )

@@ -29,6 +29,14 @@ from paths_tpu.scene.types import SceneArrays, SceneStatic
 _NO_SUB = (M.LAMBERTIAN, np.zeros(3), 0.0, 0.0, 0.0)  # (mtype, albedo, r0, metal, rough)
 
 
+def _on_accel() -> bool:
+    """True when the default backend is an accelerator (TPU/tunneled TPU) --
+    gates the Pallas kernels and the one-hot table selection."""
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
+
+
 def _basic_sub_row(m: D.MaterialD):
     """Map a BasicMaterial description (serde.rs:267-272: Lambertian | Gloss
     | Mirror | CookTorrance) to (mtype, albedo, r0, metalness, roughness)."""
@@ -219,22 +227,62 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
 
     # ---- primitives ----
     n_spheres = len(sph_center)
+    psph = None
+    pallas_sph_chunks = 0
+    n_sph_big = 0
     if n_spheres:
         sphc = np.stack(sph_center)
         sphr = np.array(sph_radius, np.float64)
         sphe = np.array(sph_ent, np.int64)
+
+        # Pallas chunked sphere intersector for larger sphere counts (the
+        # stress scene's 500 spheres).  Plain-f32 quadratics lose the scene
+        # to cancellation for huge/far spheres (the radius-1e6 ground planes,
+        # see math/ds.py), so those are partitioned out and stay on the
+        # unrolled double-single path; the kernel gets the rest.
+        big = (sphr > 1e3) | (np.abs(sphc).max(axis=1) > 1e3)
+        if _on_accel() and int((~big).sum()) > 32:
+            from paths_tpu.ops import pallas_traverse as PT
+
+            order = np.concatenate([np.nonzero(big)[0], np.nonzero(~big)[0]])
+            sphc, sphr, sphe = sphc[order], sphr[order], sphe[order]
+            n_sph_big = int(big.sum())
+            psph, pallas_sph_chunks, sorder = PT.pack_spheres_chunked(
+                sphc[n_sph_big:], sphr[n_sph_big:], ent=sphe[n_sph_big:],
+                gid0=n_sph_big,
+            )
+            # Apply the kernel's morton sort to the scene arrays so packed
+            # gids index them directly.
+            tail = n_sph_big + sorder
+            sphc[n_sph_big:] = sphc[tail]
+            sphr[n_sph_big:] = sphr[tail]
+            sphe[n_sph_big:] = sphe[tail]
     else:
         sphc = np.zeros((1, 3)); sphr = np.zeros(1); sphe = np.zeros(1, np.int64)
 
     use_bvh = False
     bvh_arrays = None
+    ptris = None
+    pallas_tri_chunks = 0
     if tri_chunks:
         cat = {k: np.concatenate([c[k] for c in tri_chunks]) for k in tri_chunks[0]}
-        # TPU measurement (teapot, 86k-ray wave): streaming brute force beats
-        # gather-driven BVH traversal up to a few 10k triangles (0.21s vs
-        # 1.58s at 6.3k tris) -- the VPU prefers streams over divergent
-        # gathers.  The BVH takes over where O(N*T) becomes untenable.
-        if len(cat["v0"]) > bvh_threshold:
+        n_cat = len(cat["v0"])
+        from paths_tpu.ops import pallas_traverse as PT
+
+        # Intersector selection, measured on the target chip (see
+        # ops/pallas_traverse.py docstring):
+        #   - tiny meshes (<= 64): unrolled streaming tests in the integrator;
+        #   - TPU runs with the chunked layout within VMEM budget: the Pallas
+        #     culled-chunk kernel (BVH-ordered rows, chunk AABB culls);
+        #   - otherwise: XLA brute-force scan below bvh_threshold, the
+        #     gather-driven skip-link BVH above it.
+        on_tpu = _on_accel()
+        want_pallas = (
+            on_tpu
+            and n_cat > 64
+            and PT.vmem_bytes(n_cat, 2 * n_cat) < PT.VMEM_LIMIT_BYTES
+        )
+        if want_pallas or n_cat > bvh_threshold:
             # Build the skip-link BVH and reorder triangles to its layout so
             # leaf primitive ranges are contiguous (scene.rs:166-168's single
             # global BVH, TPU-flattened).
@@ -243,17 +291,23 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
 
             tri_min = np.minimum(np.minimum(cat["v0"], cat["v1"]), cat["v2"])
             tri_max = np.maximum(np.maximum(cat["v0"], cat["v1"]), cat["v2"])
-            flat = build_bvh(tri_min, tri_max)
+            flat = build_bvh(tri_min, tri_max, leaf_size=PT.PACK_LEAF)
             cat = {k: v[flat.order] for k, v in cat.items()}
-            bvh_arrays = BvhArrays(
-                node_min=jnp.asarray(flat.node_min),
-                node_max=jnp.asarray(flat.node_max),
-                hit_link=jnp.asarray(flat.hit_link),
-                miss_link=jnp.asarray(flat.miss_link),
-                prim_start=jnp.asarray(flat.prim_start),
-                prim_count=jnp.asarray(flat.prim_count),
-            )
-            use_bvh = True
+            if want_pallas:
+                ptris, pallas_tri_chunks = PT.pack_chunked(
+                    flat, cat["v0"], cat["v1"], cat["v2"], cat["n"],
+                    ent=cat["ent"],
+                )
+            else:
+                bvh_arrays = BvhArrays(
+                    node_min=jnp.asarray(flat.node_min),
+                    node_max=jnp.asarray(flat.node_max),
+                    hit_link=jnp.asarray(flat.hit_link),
+                    miss_link=jnp.asarray(flat.miss_link),
+                    prim_start=jnp.asarray(flat.prim_start),
+                    prim_count=jnp.asarray(flat.prim_count),
+                )
+                use_bvh = True
     else:
         z = np.zeros((1, 3))
         cat = dict(v0=z, v1=z, v2=z, n=z, vn0=z, vn1=z, vn2=z,
@@ -319,6 +373,8 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         light_colour=f32(lc), light_intensity=f32(li_arr), light_ent=i32(le),
         sky=sky_arr,
         bvh=bvh_arrays,
+        ptris=ptris,
+        psph=psph,
     )
 
     static = SceneStatic(
@@ -329,6 +385,10 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         sky_type=sky_type,
         use_bvh=use_bvh,
         has_fresnel=has_fresnel,
+        pallas_tri_chunks=pallas_tri_chunks,
+        pallas_sph_chunks=pallas_sph_chunks,
+        n_sph_big=n_sph_big,
+        onehot_tables=_on_accel(),
     )
 
     cam = make_camera(

@@ -102,6 +102,13 @@ class SceneArrays(NamedTuple):
 
     sky: Sky
     bvh: Optional[BvhArrays]
+    # Pallas chunked-triangle layout (ops/pallas_traverse.ChunkedTris):
+    # BVH-ordered leaf rows + chunk AABBs, resident in VMEM during
+    # traversal.  None when n_tris is small or the layout exceeds VMEM.
+    ptris: object = None
+    # Pallas chunked-sphere layout (morton-sorted small spheres; big/far
+    # spheres stay on the double-single path, see scene/build.py).
+    psph: object = None
 
 
 @dataclass(frozen=True)
@@ -115,6 +122,17 @@ class SceneStatic:
     sky_type: int
     use_bvh: bool = False
     has_fresnel: bool = False
+    # Pallas culled-chunk triangle intersector (ops/pallas_traverse.py):
+    # chunk count is compile-time (the kernel's culling loop is a static
+    # unroll); 0 disables the kernel (CPU runs, tiny or huge meshes).
+    pallas_tri_chunks: int = 0
+    # Pallas culled-chunk sphere intersector; sphere array layout is
+    # [0, n_sph_big) double-single-path spheres, then kernel spheres.
+    pallas_sph_chunks: int = 0
+    n_sph_big: int = 0
+    # Select shading rows from small tables via one-hot MXU matmul instead
+    # of HBM gathers (a TPU-only win; see integrator._take_rows).
+    onehot_tables: bool = False
     # Bounce cap (trace.rs:14 caps `loops > 10` -> 11 iterations).  A
     # compile-time knob: lowering it shrinks the unrolled-scan program for
     # fast-compile paths (previews, dryruns) at the cost of bias.
