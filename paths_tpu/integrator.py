@@ -250,7 +250,10 @@ def intersect_brief(static, scene, o, d, excl_kind, excl_idx):
 
     found = t < BIG
     if need_sph_ent_gather:
-        ent = jnp.where(kind == KIND_SPHERE, scene.sph_ent[idx], ent)
+        ent_s = _take_rows(
+            _f32col(scene.sph_ent), idx, static.onehot_tables
+        )[:, 0].astype(jnp.int32)
+        ent = jnp.where(kind == KIND_SPHERE, ent_s, ent)
     if need_tri_ent_gather:
         ent = jnp.where(kind == KIND_TRI, scene.tri_ent[idx], ent)
     kind = jnp.where(found, kind, KIND_NONE)
@@ -274,7 +277,7 @@ def intersect_full(static, scene, o, d, excl_kind, excl_idx):
     vtx_colour = jnp.ones((N, 3))
 
     if static.has_spheres:
-        c = scene.sph_center[idx]
+        c = _take_rows(scene.sph_center, idx, static.onehot_tables)
         loc_s, n_s = GS.surface(o, d, t, c)
         sel = (kind == KIND_SPHERE)[..., None]
         location = jnp.where(sel, loc_s, location)
@@ -446,7 +449,14 @@ def path_step(static: SceneStatic, scene: SceneArrays, bounce, state, u):
     env_nee = static.env_nee and static.sky_type == SK.HDRI
     (o, d, throughput, colour, alive, last_spec, excl_kind, excl_idx) = state
 
-    hit = intersect_full(static, scene, o, d, excl_kind, excl_idx)
+    # Dead lanes (RR-killed, retired regen slots) keep stale rays; pushing
+    # their origins far outside the scene makes every AABB cull reject them,
+    # so sparse blocks skip whole chunks in the Pallas intersectors instead
+    # of dragging the block through brute force.  Results are masked by
+    # `alive` everywhere downstream, so this is purely a performance select.
+    o_eff = jnp.where(alive[..., None], o, 1e30)
+
+    hit = intersect_full(static, scene, o_eff, d, excl_kind, excl_idx)
 
     # Miss -> skybox, evaluated at -direction (trace.rs:18-23).  With
     # environment NEE active, diffuse-bounce misses are already covered

@@ -1,0 +1,104 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (conftest sets
+xla 8 cpu devices; SURVEY.md section 4's standard trick), covering the
+TPU-native replacement for the reference's worker-pool parallelism
+(renderer.rs:36-54): dp-sharded pixel wavefronts, replicated scene, psum'd
+gradients.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from paths_tpu import camera as C
+from paths_tpu.dist import make_mesh, sharded_render_wave, sharded_train_step
+from paths_tpu.grad import get_params, loss_and_grad
+from paths_tpu.render import render_wave
+from paths_tpu.scene.build import build_scene
+from paths_tpu.scene.stress import generate_stress_scene
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    sd = generate_stress_scene(8, seed=0)
+    static, scene, cam = build_scene(sd)
+    static = dataclasses.replace(static, max_bounces=2)
+    W, H = 32, 8
+    cam = C.resize(cam, W, H)
+    n = W * H
+    pix = np.arange(n, dtype=np.uint32)
+    px = jnp.asarray((pix % W).astype(np.int32))
+    py = jnp.asarray((pix // W).astype(np.int32))
+    pid = jnp.asarray(pix)
+    sid = jnp.zeros(n, jnp.uint32)
+    return static, scene, cam, px, py, pid, sid
+
+
+def test_mesh_uses_all_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices()) == 8
+
+
+def test_sharded_render_matches_single_device(tiny):
+    static, scene, cam, px, py, pid, sid = tiny
+    mesh = make_mesh()
+    fwd = sharded_render_wave(static, mesh)
+    col_sharded = fwd(scene, cam, px, py, pid, sid, 0)
+    col_local = render_wave(static, scene, cam, px, py, pid, sid, 0)
+    # Sharding must not change results: RNG is a pure function of
+    # (pixel, sample), independent of device layout (SURVEY.md section 7,
+    # multi-host determinism).
+    np.testing.assert_allclose(
+        np.asarray(col_sharded), np.asarray(col_local), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_sharded_output_layout(tiny):
+    static, scene, cam, px, py, pid, sid = tiny
+    mesh = make_mesh()
+    fwd = sharded_render_wave(static, mesh)
+    col = fwd(scene, cam, px, py, pid, sid, 0)
+    # Output stays dp-sharded: one equal shard per device, no gather.
+    assert len(col.sharding.device_set) == 8
+
+
+def test_sharded_train_step_matches_local_grads(tiny):
+    static, scene, cam, px, py, pid, sid = tiny
+    mesh = make_mesh()
+    target = jnp.zeros((px.shape[0], 3))
+
+    loss_local, grads_local = loss_and_grad(
+        static, scene, cam, px, py, pid, sid, 0, target
+    )
+
+    step = sharded_train_step(static, mesh, lr=0.05)
+    params = get_params(scene)
+    loss_sharded, new_params = step(
+        params, scene, cam, px, py, pid, sid, 0, target
+    )
+
+    # psum of shard-mean losses / n == global mean.
+    np.testing.assert_allclose(
+        float(loss_sharded), float(loss_local), rtol=1e-5, atol=1e-7
+    )
+    # The replicated SGD update must equal the single-device update.
+    expected = jax.tree.map(lambda p, g: p - 0.05 * g, params, grads_local)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        new_params,
+        expected,
+    )
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_mesh_shapes(tiny, n_devices):
+    static, scene, cam, px, py, pid, sid = tiny
+    mesh = make_mesh(jax.devices()[:n_devices])
+    fwd = sharded_render_wave(static, mesh)
+    col = fwd(scene, cam, px, py, pid, sid, 0)
+    assert col.shape == (px.shape[0], 3)
+    assert bool(jnp.isfinite(col).all())
