@@ -52,7 +52,9 @@ def bench_scene(scene_path: str, spp: int, tile: int = 345600, reps: int = 5):
     n_pix = W * H
     tile = min(tile, n_pix)
 
-    pix = np.arange(tile, dtype=np.uint32)
+    from paths_tpu.render import tiled_pixel_order
+
+    pix = tiled_pixel_order(W, H)[:tile]
     px = jnp.asarray((pix % W).astype(np.int32))
     py = jnp.asarray((pix // W).astype(np.int32))
     pid = jnp.asarray(pix)

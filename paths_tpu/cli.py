@@ -36,6 +36,12 @@ def main(argv=None):
                          "written every --checkpoint-every samples")
     ap.add_argument("--checkpoint-every", type=int, default=32,
                     help="samples between checkpoint writes")
+    ap.add_argument("--check", action="store_true",
+                    help="validate the rendered radiance (NaN/inf/negative "
+                         "energy, the Colour::check() analogue) and fail on "
+                         "violations")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler device trace to LOGDIR")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -98,11 +104,19 @@ def main(argv=None):
                 last_saved[0] = next_sample
                 print(f"[ckpt] saved at sample {next_sample}")
 
-    img = render_image(
-        static, scene, cam, width, height,
-        spp=args.spp, seed=args.seed, tile_pixels=args.tile, progress=True,
-        est=est, start_sample=start_sample, on_batch=on_batch,
-    )
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        from paths_tpu.profiling import trace
+
+        prof = trace(args.profile)
+    with prof:
+        img = render_image(
+            static, scene, cam, width, height,
+            spp=args.spp, seed=args.seed, tile_pixels=args.tile, progress=True,
+            est=est, start_sample=start_sample, on_batch=on_batch,
+        )
     elapsed = time.time() - t0
     rays = width * height * args.spp
     print(
@@ -111,6 +125,13 @@ def main(argv=None):
     )
     write_png(args.output, img)
     print(f"wrote {args.output}")
+    if args.check:
+        from paths_tpu.debug import validate_radiance
+
+        rep = validate_radiance(img.reshape(-1, 3), strict=False)
+        print(f"[check] {rep}")
+        if not rep.ok:
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":

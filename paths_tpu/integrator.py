@@ -554,7 +554,12 @@ def path_step(static: SceneStatic, scene: SceneArrays, bounce, state, u):
         (pdf == 0.0)[..., None], 0.0, brdf / pdf_safe[..., None]
     )
     new_throughput = throughput * attenuation
-    dead = vec.max_component(new_throughput) <= 0.0  # trace.rs:96-98
+    # Non-finite throughput (pdf underflow at grazing samples -> brdf/pdf
+    # overflows; inf/inf in the RR division would then mint NaNs) terminates
+    # the path -- the analogue of the reference panicking on its energy
+    # checks (colour.rs:56-60) instead of propagating garbage.
+    tp_finite = jnp.isfinite(new_throughput).all(axis=-1)
+    dead = (vec.max_component(new_throughput) <= 0.0) | ~tp_finite  # trace.rs:96-98
 
     emit = M.emittance(mat)  # trace.rs:100-101 (post-attenuation T)
     colour = colour + jnp.where(

@@ -51,7 +51,9 @@ class ProgressiveRenderer:
         self._full_ids = None
         self._preview_pending = True
 
-        pix = np.arange(width * height, dtype=np.uint32)
+        from paths_tpu.render import tiled_pixel_order
+
+        pix = tiled_pixel_order(width, height)
         self._px = (pix % width).astype(np.int32)
         self._py = (pix // width).astype(np.int32)
         self._pid = pix

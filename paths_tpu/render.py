@@ -178,6 +178,26 @@ def _render_samples_jit(static, scene, cam, px, py, pixel_id, sample_start, n_sa
     )
 
 
+def tiled_pixel_order(width: int, height: int, tile: int = 32) -> np.ndarray:
+    """Pixel ids (y*W+x) in tile-major order.
+
+    An (8,128) Pallas ray block covers 1024 consecutive lanes; in row-major
+    order that is a 1.4-row strip across the whole image, whose rays (and
+    their bounce origins) spread over the entire scene and defeat the
+    kernels' chunk culling.  Tile-major order makes each block a compact
+    32x32 pixel tile -- the TPU analogue of the reference's pixel-column
+    work units (renderer.rs:166-192), chosen square for ray coherence
+    rather than cache lines."""
+    pix = np.arange(width * height, dtype=np.uint32)
+    x = pix % width
+    y = pix // width
+    key = (
+        (y // tile).astype(np.uint64) * ((width + tile - 1) // tile)
+        + (x // tile)
+    ) * (tile * tile) + (y % tile) * tile + (x % tile)
+    return pix[np.argsort(key, kind="stable")]
+
+
 class Estimator:
     """Per-pixel running mean via sum + count (pixels.rs:6-31)."""
 
@@ -231,7 +251,7 @@ def render_image(
     if est is None:
         est = Estimator(width, height)
     n_pix = width * height
-    pix = np.arange(n_pix, dtype=np.uint32)
+    pix = tiled_pixel_order(width, height)
     px_all = (pix % width).astype(np.int32)
     py_all = (pix // width).astype(np.int32)
 
