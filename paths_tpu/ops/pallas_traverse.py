@@ -327,8 +327,16 @@ def closest_hit_chunked(ct: ChunkedTris, n_chunks: int, o, d, excl_idx, t_init,
     overhead amortises over 256 triangles."""
     return _launch_chunked(
         _make_chunked_kernel(n_chunks), ct.chunk_meta, ct.tris,
-        o, d, excl_idx, t_init, interpret,
+        o, d, excl_idx, t_init, interpret, bounds=_meta_bounds(ct.chunk_meta),
     )
+
+
+def _meta_bounds(meta):
+    """Scene AABB from valid chunk rows (col 7 = row count > 0)."""
+    valid = (meta[:, 7] > 0)[:, None]
+    lo = jnp.min(jnp.where(valid, meta[:, 0:3], BIG), axis=0)
+    hi = jnp.max(jnp.where(valid, meta[:, 3:6], -BIG), axis=0)
+    return lax.stop_gradient(lo), lax.stop_gradient(hi)
 
 
 SPH_STRIDE = 8   # floats per sphere slot
@@ -475,24 +483,88 @@ def _make_chunked_sphere_kernel(n_chunks: int):
     return kernel
 
 
-def _launch_chunked(kernel, meta, table, o, d, excl_idx, t_init, interpret):
+# Below this wave size the argsort + gather/scatter overhead of coherence
+# sorting outweighs the culling it buys (a couple of blocks are coherent
+# enough already).
+_SORT_MIN_N = 8192
+
+
+def _spread3(x):
+    """Spread the low 10 bits of x so consecutive bits land 3 apart."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _coherence_perm(o, d, lo, hi):
+    """Lane permutation grouping rays by (morton(origin), direction octant).
+
+    Chunk culling is per (8,128) block: a block's cost is the union of its
+    rays' chunk sets, so sorting lanes by origin locality (24-bit morton in
+    scene bounds, high bits) then direction octant (low bits) makes blocks
+    compact in space and consistent in sign -- secondary/shadow wavefronts
+    then cull like primary ones.  Dead lanes (origin pushed to 1e30 by the
+    integrator) clamp to max morton and pack into all-dead tail blocks that
+    skip every chunk.  Per-ray results are block-independent (a chunk is
+    only skipped when NO lane can hit), so sorting changes performance, not
+    values."""
+    ext = jnp.maximum(hi - lo, 1e-20)
+    q = jnp.clip((o - lo) / ext * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+    m = _spread3(q[:, 0]) | (_spread3(q[:, 1]) << 1) | (_spread3(q[:, 2]) << 2)
+    octant = (
+        (d[:, 0] < 0).astype(jnp.uint32)
+        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+        | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
+    )
+    # morton is 30 bits; keep the top 24 so octant fits below (key = u32
+    # (morton >> 6) << 3 | octant): within a 1024-lane block the dropped 6
+    # bits are sub-block noise anyway.
+    key = ((m >> 6) << 3) | octant
+    return jnp.argsort(key)
+
+
+def _launch_chunked(kernel, meta, table, o, d, excl_idx, t_init, interpret,
+                    bounds=None):
     N = o.shape[0]
     npad = -(-N // BLOCK_N) * BLOCK_N
     grid = npad // BLOCK_N
+
+    o = lax.stop_gradient(o)
+    d = lax.stop_gradient(d)
+    t_init = lax.stop_gradient(t_init.astype(jnp.float32))
+    excl_idx = excl_idx.astype(jnp.int32)
+
+    perm = None
+    if bounds is not None and N >= _SORT_MIN_N:
+        lo, hi = bounds
+        perm = _coherence_perm(o, d, lo, hi)
+        # One packed gather moves all per-ray inputs into sorted order
+        # (gather cost on TPU is per-op, nearly width-independent).  excl
+        # ids are < 2^24 so the f32 round trip is exact.
+        packed = jnp.concatenate(
+            [o, d, excl_idx.astype(jnp.float32)[:, None], t_init[:, None]],
+            axis=1,
+        )
+        packed = jnp.take(packed, perm, axis=0)
+        o, d = packed[:, 0:3], packed[:, 3:6]
+        excl_idx = packed[:, 6].astype(jnp.int32)
+        t_init = packed[:, 7]
 
     def prep(x, fill):
         x = jnp.concatenate([x, jnp.full(npad - N, fill, x.dtype)]) if npad != N else x
         return x.reshape(grid * BLOCK[0], BLOCK[1])
 
     args = (
-        prep(lax.stop_gradient(o[:, 0]), 1e30),
-        prep(lax.stop_gradient(o[:, 1]), 1e30),
-        prep(lax.stop_gradient(o[:, 2]), 1e30),
-        prep(lax.stop_gradient(d[:, 0]), 1.0),
-        prep(lax.stop_gradient(d[:, 1]), 1.0),
-        prep(lax.stop_gradient(d[:, 2]), 1.0),
-        prep(excl_idx.astype(jnp.int32), -1),
-        prep(lax.stop_gradient(t_init.astype(jnp.float32)), 0.0),
+        prep(o[:, 0], 1e30),
+        prep(o[:, 1], 1e30),
+        prep(o[:, 2], 1e30),
+        prep(d[:, 0], 1.0),
+        prep(d[:, 1], 1.0),
+        prep(d[:, 2], 1.0),
+        prep(excl_idx, -1),
+        prep(t_init, 0.0),
     )
     ray_spec = pl.BlockSpec(BLOCK, lambda i: (i, 0), memory_space=pltpu.VMEM)
     tree_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -508,8 +580,19 @@ def _launch_chunked(kernel, meta, table, o, d, excl_idx, t_init, interpret):
         ),
         interpret=interpret,
     )(lax.stop_gradient(meta), lax.stop_gradient(table), *args)
-    return (t_out.reshape(npad)[:N], i_out.reshape(npad)[:N],
-            e_out.reshape(npad)[:N])
+    t_out = t_out.reshape(npad)[:N]
+    i_out = i_out.reshape(npad)[:N]
+    e_out = e_out.reshape(npad)[:N]
+    if perm is not None:
+        # One packed scatter restores lane order (ids < 2^24: f32-exact).
+        packed_out = jnp.stack(
+            [t_out, i_out.astype(jnp.float32), e_out.astype(jnp.float32)], 1
+        )
+        restored = jnp.zeros_like(packed_out).at[perm].set(packed_out)
+        t_out = restored[:, 0]
+        i_out = restored[:, 1].astype(jnp.int32)
+        e_out = restored[:, 2].astype(jnp.int32)
+    return t_out, i_out, e_out
 
 
 def closest_hit_spheres(cs: ChunkedTris, n_chunks: int, o, d, excl_idx, t_init,
@@ -519,7 +602,7 @@ def closest_hit_spheres(cs: ChunkedTris, n_chunks: int, o, d, excl_idx, t_init,
     t_init); indices are global sphere ids as packed."""
     return _launch_chunked(
         _make_chunked_sphere_kernel(n_chunks), cs.chunk_meta, cs.tris,
-        o, d, excl_idx, t_init, interpret,
+        o, d, excl_idx, t_init, interpret, bounds=_meta_bounds(cs.chunk_meta),
     )
 
 
@@ -534,6 +617,11 @@ def closest_hit_packet(pt: PackedBvh, o, d, excl_idx, t_init, interpret=False):
     caller re-derives differentiable shading quantities at the returned
     index (SURVEY.md section 7: BVH as non-differentiable selector).
     """
+    bounds = (
+        lax.stop_gradient(pt.nodes[0, 0:3]),  # root AABB
+        lax.stop_gradient(pt.nodes[0, 3:6]),
+    )
     return _launch_chunked(
         _kernel, pt.nodes, pt.tris, o, d, excl_idx, t_init, interpret,
+        bounds=bounds,
     )
