@@ -260,6 +260,62 @@ def intersect_brief(static, scene, o, d, excl_kind, excl_idx):
     return found, kind, idx, ent, t
 
 
+def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
+    """Shadow-ray occlusion: True per lane iff some primitive other than the
+    originating one and other than entity ``excl_ent`` is hit at t < t_max.
+
+    This is the any-hit form of the reference's shadow test: trace.rs:61-66
+    finds the closest hit and compares its entity id to the sampled light's,
+    which is equivalent to "no non-light hit before the light's own first
+    intersection" -- the t_max the caller derives analytically.  On the
+    Pallas path a hit collapses the lane immediately (early exit), instead
+    of refining a closest distance nobody reads; lanes whose contribution is
+    already known zero arrive with origin pushed to 1e30 and cull away."""
+    N = o.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+    excl_ent = jnp.broadcast_to(jnp.asarray(excl_ent, jnp.int32), (N,))
+    pallas_ok = (
+        (not static.has_spheres or
+         (static.pallas_sph_chunks > 0 and scene.psph is not None))
+        and (not static.has_tris or
+             (static.pallas_tri_chunks > 0 and scene.ptris is not None))
+    )
+    if not pallas_ok:
+        # Fallback: derive occlusion from the closest hit (identical
+        # semantics: anything closer than the light occludes; the light
+        # itself, when closest, does not).
+        f, _, _, e, t = intersect_brief(static, scene, o, d, excl_kind, excl_idx)
+        return f & (t < t_max) & (e != excl_ent)
+
+    from paths_tpu.ops.pallas_traverse import occludes_chunked, occludes_spheres
+
+    occ = jnp.zeros(N, bool)
+    if static.has_spheres:
+        excl_s = excl_kind == KIND_SPHERE
+        for s in range(static.n_sph_big):
+            t, hit = GS.intersect(o, d, scene.sph_center[s], scene.sph_radius[s])
+            ok = (
+                hit & (t < t_max)
+                & ~(excl_s & (excl_idx == s))
+                & (scene.sph_ent[s] != excl_ent)
+            )
+            occ = occ | ok
+        excl_i = jnp.where(excl_s, excl_idx, jnp.int32(-1))
+        o_eff = jnp.where(occ[..., None], 1e30, o)
+        occ = occ | occludes_spheres(
+            scene.psph, static.pallas_sph_chunks, o_eff, d, excl_i, excl_ent,
+            t_max,
+        )
+    if static.has_tris:
+        excl_i = jnp.where(excl_kind == KIND_TRI, excl_idx, jnp.int32(-1))
+        o_eff = jnp.where(occ[..., None], 1e30, o)
+        occ = occ | occludes_chunked(
+            scene.ptris, static.pallas_tri_chunks, o_eff, d, excl_i, excl_ent,
+            t_max,
+        )
+    return occ
+
+
 def intersect_full(static, scene, o, d, excl_kind, excl_idx):
     """Closest hit with full shading data.
 
@@ -503,15 +559,6 @@ def path_step(static: SceneStatic, scene: SceneArrays, bounce, state, u):
         )
         shadow_dir = -in_dir
         shadow_o = location + normal * SHADOW_EPS
-        s_found, _, _, s_ent, s_t = intersect_brief(
-            static, scene, shadow_o, shadow_dir, hit["kind"], hit["idx"]
-        )
-        is_point = light["ltype"] == LT.POINT
-        occluded = jnp.where(
-            is_point,
-            s_found & (s_t < max_dist),
-            s_found & (s_ent != light["ent_id"]),
-        )
         cos_theta = jnp.maximum(0.0, vec.dot(normal, shadow_dir))
         brdf = M.eval_brdf(mat, vec_out, -shadow_dir, normal)
         direct = (
@@ -520,7 +567,36 @@ def path_step(static: SceneStatic, scene: SceneArrays, bounce, state, u):
             * brdf
             * inv_pdf[..., None]
         )
-        ok = alive & ~occluded & (cos_theta > 0.0)
+        # The shadow ray only matters where the unshadowed contribution is
+        # nonzero: alive, front-facing, pdf > 0 (uniform sphere sampling
+        # back-faces half its samples, inv_pdf == 0), and a BRDF that talks
+        # to NEE at all (mirrors report BLACK, material.rs:265-267).  Dead
+        # lanes get their origin pushed out so the occlusion kernels cull
+        # whole blocks of them.
+        want = (
+            alive
+            & (cos_theta > 0.0)
+            & (vec.max_component(direct) > 0.0)
+        )
+        is_point = light["ltype"] == LT.POINT
+        # Bound the query at the light itself: its analytic entry distance
+        # (sphere lights -- equivalent to the reference's occluder-identity
+        # check, trace.rs:61-66) or the point light's distance.  A sphere
+        # sample whose ray numerically misses its own light keeps t_max BIG,
+        # matching the closest-hit formulation (anything hit occludes).
+        t_light, l_hit = GS.intersect(
+            shadow_o, shadow_dir, light["position"], light["radius"]
+        )
+        t_max_q = jnp.where(
+            is_point, max_dist, jnp.where(l_hit, t_light, jnp.float32(BIG))
+        )
+        excl_ent_q = jnp.where(is_point, jnp.int32(-1), light["ent_id"])
+        shadow_o_eff = jnp.where(want[..., None], shadow_o, 1e30)
+        occluded = occluded_query(
+            static, scene, shadow_o_eff, shadow_dir, hit["kind"], hit["idx"],
+            t_max_q, excl_ent_q,
+        )
+        ok = want & ~occluded
         colour = colour + jnp.where(ok[..., None], direct * throughput, 0.0)
 
     # ---- Environment NEE (capability extension; SURVEY.md section 7
@@ -535,13 +611,20 @@ def path_step(static: SceneStatic, scene: SceneArrays, bounce, state, u):
         )
         e_shadow_dir = -e_dir  # surface -> sky
         e_shadow_o = location + normal * SHADOW_EPS
-        e_found, _, _, _, _ = intersect_brief(
-            static, scene, e_shadow_o, e_shadow_dir, hit["kind"], hit["idx"]
-        )
         e_cos = vec.dot(normal, e_shadow_dir)
         e_brdf = M.eval_brdf(mat, vec_out, e_dir, normal)
         e_direct = e_rad * e_brdf * e_inv_pdf[..., None]
-        e_ok = alive & ~e_found & (e_cos > 0.0)
+        # Any hit at all blocks the sky; mask lanes whose contribution is
+        # already zero so the occlusion kernels skip them (see NEE above).
+        e_want = (
+            alive & (e_cos > 0.0) & (vec.max_component(e_direct) > 0.0)
+        )
+        e_o_eff = jnp.where(e_want[..., None], e_shadow_o, 1e30)
+        e_occ = occluded_query(
+            static, scene, e_o_eff, e_shadow_dir, hit["kind"], hit["idx"],
+            jnp.float32(BIG), jnp.int32(-1),
+        )
+        e_ok = e_want & ~e_occ
         colour = colour + jnp.where(e_ok[..., None], e_direct * throughput, 0.0)
 
     # ---- BSDF sample & bounce (trace.rs:84-101) ----

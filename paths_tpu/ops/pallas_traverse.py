@@ -210,9 +210,16 @@ def pack_chunked(flat, v0, v1, v2, n, ent=None,
     ), n_chunks
 
 
-def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best):
+def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best,
+                  excl_ent=None, any_hit=False):
     """Test the PACK_LEAF triangle slots of row value `tr` ((1,128)) against
-    the ray block.  Shared by the packet and chunked kernels."""
+    the ray block.  Shared by the packet and chunked kernels.
+
+    any_hit mode (occlusion queries): a qualifying hit collapses the lane's
+    t_best to 0 instead of recording (t, id) -- the lane then fails every
+    subsequent slab test (tmin < 0 only when the origin sits inside a box),
+    so finished lanes stop pulling chunks in.  excl_ent skips hits on a
+    per-lane excluded entity (the light being sampled)."""
     def bcast(j):
         return jnp.broadcast_to(tr[0, j], BLOCK)
 
@@ -261,6 +268,10 @@ def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best):
             & (gid != excl_i)
             & (gid >= 0)
         )
+        if excl_ent is not None:
+            ok = ok & (ent != excl_ent)
+        if any_hit:
+            t = jnp.zeros_like(t)
         t_best = jnp.where(ok, t, t_best)
         i_best = jnp.where(ok, gid, i_best)
         e_best = jnp.where(ok, ent, e_best)
@@ -401,10 +412,12 @@ def pack_spheres_chunked(centers, radii, ent=None, gid0: int = 0,
     )
 
 
-def _sphere_row_test(sr, o, d, excl_i, t_best, i_best, e_best):
+def _sphere_row_test(sr, o, d, excl_i, t_best, i_best, e_best,
+                     excl_ent=None, any_hit=False):
     """Test SPH_PER_ROW sphere slots of row value `sr` ((1,128)) against the
     ray block.  Matches geom/sphere.py's semantics (geom.rs:208-235) in plain
-    f32 -- callers must route large/far spheres to the double-single path."""
+    f32 -- callers must route large/far spheres to the double-single path.
+    excl_ent / any_hit as in _tri_row_test."""
     def bcast(j):
         return jnp.broadcast_to(sr[0, j], BLOCK)
 
@@ -430,6 +443,10 @@ def _sphere_row_test(sr, o, d, excl_i, t_best, i_best, e_best):
             & (gid != excl_i)
             & (gid >= 0)
         )
+        if excl_ent is not None:
+            ok = ok & (ent != excl_ent)
+        if any_hit:
+            t = jnp.zeros_like(t)
         t_best = jnp.where(ok, t, t_best)
         i_best = jnp.where(ok, gid, i_best)
         e_best = jnp.where(ok, ent, e_best)
@@ -481,6 +498,143 @@ def _make_chunked_sphere_kernel(n_chunks: int):
         eout[:] = e_best
 
     return kernel
+
+
+def _make_anyhit_kernel(n_chunks: int, row_test):
+    """Occlusion-query variant of the chunked kernels (row_test is
+    _tri_row_test or _sphere_row_test).  Carry is t_best alone, seeded with
+    the per-lane max distance (the light sample's analytic hit distance);
+    a qualifying hit drops it to 0 so the lane stops attracting chunks, and
+    a block whose every lane is finished (or dead) slab-rejects everything
+    left.  Output: t == 0 where occluded."""
+
+    def kernel(meta_ref, tab_ref, ox, oy, oz, dx, dy, dz, excl, eent, tmax,
+               tout):
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        inv = tuple(1.0 / c for c in d)
+        excl_i = excl[:]
+        excl_e = eent[:]
+        t_best = tmax[:]
+        i_d = jnp.zeros(BLOCK, jnp.int32)
+
+        for c in range(n_chunks):
+            def bc(j):
+                return jnp.broadcast_to(meta_ref[c, j], BLOCK)
+
+            tmin = jnp.full(BLOCK, -BIG)
+            tmx = jnp.full(BLOCK, BIG)
+            for ax in range(3):
+                t0 = (bc(ax) - o[ax]) * inv[ax]
+                t1 = (bc(3 + ax) - o[ax]) * inv[ax]
+                tmin = jnp.maximum(tmin, jnp.minimum(t0, t1))
+                tmx = jnp.minimum(tmx, jnp.maximum(t0, t1))
+            any_hit = jnp.any((tmin < tmx) & (tmin < t_best) & (tmx > 0.0))
+
+            r0 = meta_ref[c, 6].astype(jnp.int32)
+            nr = meta_ref[c, 7].astype(jnp.int32)
+
+            def do_chunk(tb):
+                def row_body(r, tb):
+                    tr = tab_ref[pl.ds(r, 1), :]
+                    tb, _, _ = row_test(
+                        tr, o, d, excl_i, tb, i_d, i_d,
+                        excl_ent=excl_e, any_hit=True,
+                    )
+                    return tb
+
+                return lax.fori_loop(r0, r0 + nr, row_body, tb)
+
+            t_best = lax.cond(any_hit, do_chunk, lambda tb: tb, t_best)
+
+        tout[:] = t_best
+
+    return kernel
+
+
+def _launch_anyhit(kernel, meta, table, o, d, excl_idx, excl_ent, t_max,
+                   interpret, bounds):
+    """Occlusion-query launch: same lane prep + coherence sort as
+    _launch_chunked (shadow wavefronts are exactly the incoherent ones),
+    one boolean-equivalent output (t == 0)."""
+    N = o.shape[0]
+    npad = -(-N // BLOCK_N) * BLOCK_N
+    grid = npad // BLOCK_N
+
+    o = lax.stop_gradient(o)
+    d = lax.stop_gradient(d)
+    t_max = lax.stop_gradient(t_max.astype(jnp.float32))
+    excl_idx = excl_idx.astype(jnp.int32)
+    excl_ent = excl_ent.astype(jnp.int32)
+
+    perm = None
+    if bounds is not None and N >= _SORT_MIN_N:
+        lo, hi = bounds
+        perm = _coherence_perm(o, d, lo, hi)
+        packed = jnp.concatenate(
+            [o, d, excl_idx.astype(jnp.float32)[:, None],
+             excl_ent.astype(jnp.float32)[:, None], t_max[:, None]],
+            axis=1,
+        )
+        packed = jnp.take(packed, perm, axis=0)
+        o, d = packed[:, 0:3], packed[:, 3:6]
+        excl_idx = packed[:, 6].astype(jnp.int32)
+        excl_ent = packed[:, 7].astype(jnp.int32)
+        t_max = packed[:, 8]
+
+    def prep(x, fill):
+        x = jnp.concatenate([x, jnp.full(npad - N, fill, x.dtype)]) if npad != N else x
+        return x.reshape(grid * BLOCK[0], BLOCK[1])
+
+    args = (
+        prep(o[:, 0], 1e30),
+        prep(o[:, 1], 1e30),
+        prep(o[:, 2], 1e30),
+        prep(d[:, 0], 1.0),
+        prep(d[:, 1], 1.0),
+        prep(d[:, 2], 1.0),
+        prep(excl_idx, -1),
+        prep(excl_ent, -1),
+        prep(t_max, 0.0),
+    )
+    ray_spec = pl.BlockSpec(BLOCK, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tree_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    t_out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[tree_spec, tree_spec] + [ray_spec] * 9,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.float32),
+        interpret=interpret,
+    )(lax.stop_gradient(meta), lax.stop_gradient(table), *args)
+    t_out = t_out.reshape(npad)[:N]
+    if perm is not None:
+        t_out = jnp.zeros_like(t_out).at[perm].set(t_out)
+    return t_out == 0.0
+
+
+def occludes_chunked(ct: ChunkedTris, n_chunks: int, o, d, excl_idx, excl_ent,
+                     t_max, interpret=False):
+    """True per lane iff some triangle with gid != excl_idx and
+    ent != excl_ent is hit at t in [0, t_max).  Early-exit any-hit form of
+    closest_hit_chunked for shadow rays (trace.rs:61-66 only compares the
+    occluder's entity id, so the closest hit is never needed)."""
+    return _launch_anyhit(
+        _make_anyhit_kernel(n_chunks, _tri_row_test), ct.chunk_meta, ct.tris,
+        o, d, excl_idx, excl_ent, t_max, interpret,
+        bounds=_meta_bounds(ct.chunk_meta),
+    )
+
+
+def occludes_spheres(cs: ChunkedTris, n_chunks: int, o, d, excl_idx, excl_ent,
+                     t_max, interpret=False):
+    """Any-hit occlusion over the chunked sphere table (see
+    occludes_chunked)."""
+    return _launch_anyhit(
+        _make_anyhit_kernel(n_chunks, _sphere_row_test), cs.chunk_meta,
+        cs.tris, o, d, excl_idx, excl_ent, t_max, interpret,
+        bounds=_meta_bounds(cs.chunk_meta),
+    )
 
 
 # Below this wave size the argsort + gather/scatter overhead of coherence

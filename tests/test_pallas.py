@@ -167,3 +167,85 @@ def test_take_rows_onehot_matches_gather():
     a = _take_rows(table, idx, onehot=True)
     b = _take_rows(table, idx, onehot=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_anyhit_tri_matches_closest_derived(tri_soup, rays):
+    """occludes_chunked == (closest hit with t < t_max and ent != excl_ent)."""
+    from paths_tpu.ops.pallas_traverse import occludes_chunked
+
+    flat, v0, v1, v2, n = tri_soup
+    o, d, excl = rays
+    rng = np.random.default_rng(17)
+    N = len(o)
+    ents = (np.arange(len(v0)) % 13).astype(np.int64)
+    ct, n_chunks = pack_chunked(flat, v0, v1, v2, n, ent=ents,
+                                rows_per_chunk=4)
+    t_max = rng.uniform(0.1, 6.0, N).astype(np.float32)
+    excl_ent = rng.integers(-1, 13, N).astype(np.int32)
+
+    t_ref, i_ref = brute(v0, v1, v2, n, o, d, excl)
+    # Reference occlusion: ANY qualifying hit, not just the closest --
+    # rebuild it by brute force with the entity/t_max filters applied.
+    occ_ref = np.zeros(N, bool)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    for s in range(len(v0)):
+        t, hit, *_ = GT.intersect(
+            oj, dj, jnp.asarray(v0[s]), jnp.asarray(v1[s]),
+            jnp.asarray(v2[s]), jnp.asarray(n[s]),
+        )
+        t = np.asarray(t)
+        ok = (
+            np.asarray(hit) & (t < t_max) & (np.int32(s) != excl)
+            & (ents[s] != excl_ent)
+        )
+        occ_ref |= ok
+
+    occ = occludes_chunked(
+        ct, n_chunks, oj, dj, jnp.asarray(excl), jnp.asarray(excl_ent),
+        jnp.asarray(t_max), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), occ_ref)
+
+
+def test_anyhit_sphere_matches_bruteforce():
+    from paths_tpu.geom import sphere as GS
+    from paths_tpu.ops.pallas_traverse import (
+        pack_spheres_chunked, occludes_spheres,
+    )
+
+    rng = np.random.default_rng(23)
+    S, N = 150, 800
+    c = rng.uniform(-40, 40, (S, 3))
+    r = rng.uniform(0.5, 5.0, S)
+    ents = np.arange(S) % 9
+    cs, n_chunks, order = pack_spheres_chunked(c, r, ent=ents, gid0=0,
+                                               rows_per_chunk=2)
+    ents, c, r = ents[order], c[order], r[order]
+
+    o = rng.uniform(-60, 60, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    excl = np.full(N, -1, np.int32)
+    excl[:100] = rng.integers(0, S, 100)
+    excl_ent = rng.integers(-1, 9, N).astype(np.int32)
+    t_max = rng.uniform(1.0, 120.0, N).astype(np.float32)
+
+    occ_ref = np.zeros(N, bool)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    for s in range(S):
+        t, hit = GS.intersect(oj, dj, jnp.asarray(c[s], jnp.float32),
+                              jnp.asarray(r[s], jnp.float32))
+        t = np.asarray(t)
+        ok = (
+            np.asarray(hit) & (t < t_max) & (np.int32(s) != excl)
+            & (ents[s] != excl_ent)
+        )
+        occ_ref |= ok
+
+    occ = np.asarray(occludes_spheres(
+        cs, n_chunks, oj, dj, jnp.asarray(excl), jnp.asarray(excl_ent),
+        jnp.asarray(t_max), interpret=True,
+    ))
+    # f32 kernel vs double-single reference: tolerate grazing-ray flips.
+    flips = (occ != occ_ref).sum()
+    assert flips <= N * 0.01, f"{flips} occlusion flips"
