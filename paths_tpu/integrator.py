@@ -99,7 +99,8 @@ def _scan_spheres_pallas(static, scene, o, d, excl_kind, excl_idx):
         e_best = jnp.where(ok, scene.sph_ent[s], e_best)
     excl_i = jnp.where(excl, excl_idx, jnp.int32(-1))
     tk, ik, ek = closest_hit_spheres(
-        scene.psph, static.pallas_sph_chunks, o, d, excl_i, t_best
+        scene.psph, static.pallas_sph_chunks, o, d, excl_i, t_best,
+        interpret=static.pallas_interpret,
     )
     better = tk < t_best
     return (
@@ -227,11 +228,14 @@ def intersect_brief(static, scene, o, d, excl_kind, excl_idx):
     if static.has_tris:
         et = None
         if static.pallas_tri_chunks > 0 and scene.ptris is not None:
-            from paths_tpu.ops.pallas_traverse import closest_hit_chunked
+            from paths_tpu.ops.sorted_traverse import closest_hit_sorted
 
             excl_i = jnp.where(excl_kind == KIND_TRI, excl_idx, jnp.int32(-1))
-            tt, it, et = closest_hit_chunked(
-                scene.ptris, static.pallas_tri_chunks, o, d, excl_i, t
+            tt, it, et = closest_hit_sorted(
+                scene.ptris, static.pallas_tri_chunks, o, d, excl_i, t,
+                rows_per_chunk=static.pallas_tri_rows,
+                stream=static.pallas_tri_stream,
+                interpret=static.pallas_interpret,
             )
         elif static.use_bvh and scene.bvh is not None:
             from paths_tpu.bvh.traverse import closest_hit_bvh
@@ -287,7 +291,8 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
         f, _, _, e, t = intersect_brief(static, scene, o, d, excl_kind, excl_idx)
         return f & (t < t_max) & (e != excl_ent)
 
-    from paths_tpu.ops.pallas_traverse import occludes_chunked, occludes_spheres
+    from paths_tpu.ops.pallas_traverse import occludes_spheres
+    from paths_tpu.ops.sorted_traverse import occludes_sorted
 
     occ = jnp.zeros(N, bool)
     if static.has_spheres:
@@ -304,14 +309,16 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
         o_eff = jnp.where(occ[..., None], 1e30, o)
         occ = occ | occludes_spheres(
             scene.psph, static.pallas_sph_chunks, o_eff, d, excl_i, excl_ent,
-            t_max,
+            t_max, interpret=static.pallas_interpret,
         )
     if static.has_tris:
         excl_i = jnp.where(excl_kind == KIND_TRI, excl_idx, jnp.int32(-1))
         o_eff = jnp.where(occ[..., None], 1e30, o)
-        occ = occ | occludes_chunked(
+        occ = occ | occludes_sorted(
             scene.ptris, static.pallas_tri_chunks, o_eff, d, excl_i, excl_ent,
-            t_max,
+            t_max, rows_per_chunk=static.pallas_tri_rows,
+            stream=static.pallas_tri_stream,
+            interpret=static.pallas_interpret,
         )
     return occ
 

@@ -68,12 +68,14 @@ def pack_bvh(flat, v0, v1, v2, n, ent=None) -> PackedBvh:
     flat.order layout (the same layout SceneArrays uses), so the gid written
     into each slot indexes those arrays directly.  ent (T,) entity ids ride
     in slot col 14 so hit resolution needs no separate gather."""
-    if ent is None:
-        ent = np.zeros(len(np.asarray(v0)), np.int64)
+    nodes = _pack_nodes(flat)
+    tris = _pack_tri_rows(flat, v0, v1, v2, n, ent)
+    return PackedBvh(nodes=jnp.asarray(tris_pad(nodes)), tris=jnp.asarray(tris_pad(tris)))
+
+
+def _pack_nodes(flat) -> np.ndarray:
     is_leaf = flat.prim_count > 0
     leaf_ids = np.cumsum(is_leaf) - 1  # node -> its leaf row
-    n_leaves = int(is_leaf.sum())
-
     M = flat.n_nodes
     nodes = np.zeros((M, 128), np.float32)
     nodes[:, 0:3] = flat.node_min
@@ -82,27 +84,41 @@ def pack_bvh(flat, v0, v1, v2, n, ent=None) -> PackedBvh:
     nodes[:, 7] = flat.miss_link
     nodes[:, 8] = np.where(is_leaf, leaf_ids, 0)
     nodes[:, 9] = flat.prim_count
+    return nodes
 
+
+def _pack_tri_rows(flat, v0, v1, v2, n, ent=None) -> np.ndarray:
+    """Vectorised leaf-row packing (dragon-class meshes run to ~1M faces;
+    a per-primitive Python loop would dominate scene build)."""
+    v0 = np.asarray(v0, np.float64)
+    v1 = np.asarray(v1, np.float64)
+    v2 = np.asarray(v2, np.float64)
+    n = np.asarray(n, np.float64)
+    T = len(v0)
+    if ent is None:
+        ent = np.zeros(T, np.int64)
+    ent = np.asarray(ent)
+    is_leaf = flat.prim_count > 0
+    n_leaves = int(is_leaf.sum())
+    leaf_start = flat.prim_start[is_leaf]  # (R,) ascending, partitions [0,T)
+    # Primitive -> (row, slot): prim ranges are contiguous in leaf order.
+    g = np.arange(T)
+    row = np.searchsorted(leaf_start, g, side="right") - 1
+    slot = g - leaf_start[row]
+
+    area = np.einsum("ij,ij->i", n, np.cross(v1 - v0, v2 - v0))
     tris = np.zeros((max(n_leaves, 1), 128), np.float32)
     tris[:, 12::TRI_STRIDE] = -1.0  # gid = -1 in empty slots
-    leaf_nodes = np.nonzero(is_leaf)[0]
-    e1 = np.asarray(v1) - np.asarray(v0)
-    e2 = np.asarray(v2) - np.asarray(v0)
-    area = np.einsum("ij,ij->i", np.asarray(n), np.cross(e1, e2))
-    for nd in leaf_nodes:
-        row = leaf_ids[nd]
-        start = flat.prim_start[nd]
-        for k in range(flat.prim_count[nd]):
-            g = start + k
-            c = k * TRI_STRIDE
-            tris[row, c : c + 3] = v0[g]
-            tris[row, c + 3 : c + 6] = v1[g]
-            tris[row, c + 6 : c + 9] = v2[g]
-            tris[row, c + 9 : c + 12] = n[g]
-            tris[row, c + 12] = g
-            tris[row, c + 13] = area[g]
-            tris[row, c + 14] = ent[g]
-    return PackedBvh(nodes=jnp.asarray(tris_pad(nodes)), tris=jnp.asarray(tris_pad(tris)))
+    base = slot * TRI_STRIDE
+    for j in range(3):
+        tris[row, base + j] = v0[:, j]
+        tris[row, base + 3 + j] = v1[:, j]
+        tris[row, base + 6 + j] = v2[:, j]
+        tris[row, base + 9 + j] = n[:, j]
+    tris[row, base + 12] = g
+    tris[row, base + 13] = area
+    tris[row, base + 14] = ent
+    return tris
 
 
 def tris_pad(a: np.ndarray) -> np.ndarray:
@@ -180,32 +196,46 @@ class ChunkedTris(NamedTuple):
 
 def pack_chunked(flat, v0, v1, v2, n, ent=None,
                  rows_per_chunk: int = ROWS_PER_CHUNK):
-    """Chunked layout for closest_hit_chunked: the BVH's leaf-row order (a
-    spatial sort) cut into fixed row ranges, each with its AABB.  The BVH
-    tree itself is discarded -- only its ordering quality matters here."""
-    pb = pack_bvh(flat, v0, v1, v2, n, ent)
-    tris = np.asarray(pb.tris)
+    """Chunked layout for closest_hit_chunked / the sorted kernels: the
+    BVH's leaf-row order (a spatial sort) cut into fixed row ranges, each
+    with its AABB.  The BVH tree itself is discarded -- only its ordering
+    quality matters here.
+
+    Meta row layout (f32 cols): [0:6] chunk AABB lo/hi, [6] first row,
+    [7] row count, and -- when rows_per_chunk <= 15 -- [8 : 8+8*rows] per-ROW
+    AABBs (lo xyz, hi xyz, pad, pad), the sub-hierarchy the sorted kernels
+    use to gate each 8-triangle row test.  Empty rows get an inverted AABB
+    (+BIG lo / -BIG hi) that fails every slab test."""
+    tris = _pack_tri_rows(flat, v0, v1, v2, n, ent)
     # One row per BVH *leaf* (leaves may be underfull, so R >= ceil(T/8)).
     R = max(int((flat.prim_count > 0).sum()), 1)
     n_chunks = -(-R // rows_per_chunk)
+    rpad = n_chunks * rows_per_chunk
+
+    # Per-row AABBs over live slots, vectorised.
+    tp = np.concatenate([tris, np.zeros((rpad - R, 128), np.float32)])
+    slots = tp.reshape(rpad, PACK_LEAF, TRI_STRIDE)
+    pts = slots[:, :, 0:9].reshape(rpad, PACK_LEAF, 3, 3)
+    live = (slots[:, :, 12] >= 0)[:, :, None, None]
+    row_lo = np.where(live, pts, BIG).min(axis=(1, 2))   # (rpad, 3)
+    row_hi = np.where(live, pts, -BIG).max(axis=(1, 2))
+
     meta = np.zeros((n_chunks, 128), np.float32)
-    for c in range(n_chunks):
-        r0 = c * rows_per_chunk
-        r1 = min(r0 + rows_per_chunk, R)
-        block = tris[r0:r1]
-        pts = []
-        for k in range(PACK_LEAF):
-            s = k * TRI_STRIDE
-            live = block[:, s + 12] >= 0
-            for off in (0, 3, 6):
-                pts.append(block[live][:, s + off : s + off + 3])
-        pts = np.concatenate([p for p in pts if len(p)], axis=0)
-        meta[c, 0:3] = pts.min(0)
-        meta[c, 3:6] = pts.max(0)
-        meta[c, 6] = r0
-        meta[c, 7] = r1 - r0
+    clo = row_lo.reshape(n_chunks, rows_per_chunk, 3)
+    chi = row_hi.reshape(n_chunks, rows_per_chunk, 3)
+    meta[:, 0:3] = clo.min(axis=1)
+    meta[:, 3:6] = chi.max(axis=1)
+    meta[:, 6] = np.arange(n_chunks) * rows_per_chunk
+    meta[:, 7] = np.minimum((np.arange(n_chunks) + 1) * rows_per_chunk, R) \
+        - np.arange(n_chunks) * rows_per_chunk
+    if rows_per_chunk <= 15:
+        rowmeta = np.concatenate(
+            [clo, chi, np.zeros((n_chunks, rows_per_chunk, 2), np.float32)],
+            axis=2,
+        )  # (C, rows, 8)
+        meta[:, 8 : 8 + 8 * rows_per_chunk] = rowmeta.reshape(n_chunks, -1)
     return ChunkedTris(
-        tris=jnp.asarray(tris),
+        tris=jnp.asarray(tris_pad(tris)),
         chunk_meta=jnp.asarray(tris_pad(meta)),
     ), n_chunks
 

@@ -37,6 +37,15 @@ def _on_accel() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _force_pallas() -> bool:
+    """PATHS_TPU_FORCE_PALLAS=1 routes CPU runs through the production
+    Pallas kernels in interpret mode, so tests and multichip dryruns cover
+    the code path that actually runs on TPU (not just the XLA fallback)."""
+    import os
+
+    return os.environ.get("PATHS_TPU_FORCE_PALLAS", "") not in ("", "0")
+
+
 def _basic_sub_row(m: D.MaterialD):
     """Map a BasicMaterial description (serde.rs:267-272: Lambertian | Gloss
     | Mirror | CookTorrance) to (mtype, albedo, r0, metalness, roughness)."""
@@ -241,7 +250,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         # see math/ds.py), so those are partitioned out and stay on the
         # unrolled double-single path; the kernel gets the rest.
         big = (sphr > 1e3) | (np.abs(sphc).max(axis=1) > 1e3)
-        if _on_accel() and int((~big).sum()) > 32:
+        if (_on_accel() or _force_pallas()) and int((~big).sum()) > 32:
             from paths_tpu.ops import pallas_traverse as PT
 
             order = np.concatenate([np.nonzero(big)[0], np.nonzero(~big)[0]])
@@ -264,24 +273,24 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
     bvh_arrays = None
     ptris = None
     pallas_tri_chunks = 0
+    pallas_tri_stream = False
+    pallas_tri_rows = 8
     if tri_chunks:
         cat = {k: np.concatenate([c[k] for c in tri_chunks]) for k in tri_chunks[0]}
         n_cat = len(cat["v0"])
         from paths_tpu.ops import pallas_traverse as PT
+        from paths_tpu.ops import sorted_traverse as STV
 
-        # Intersector selection, measured on the target chip (see
-        # ops/pallas_traverse.py docstring):
-        #   - tiny meshes (<= 64): unrolled streaming tests in the integrator;
-        #   - TPU runs with the chunked layout within VMEM budget: the Pallas
-        #     culled-chunk kernel (BVH-ordered rows, chunk AABB culls);
-        #   - otherwise: XLA brute-force scan below bvh_threshold, the
-        #     gather-driven skip-link BVH above it.
-        on_tpu = _on_accel()
-        want_pallas = (
-            on_tpu
-            and n_cat > 64
-            and PT.vmem_bytes(n_cat, 2 * n_cat) < PT.VMEM_LIMIT_BYTES
-        )
+        # Intersector selection:
+        #   - tiny meshes (<= 64 tris): unrolled streaming tests in the
+        #     integrator (no packing overhead);
+        #   - accelerator (or PATHS_TPU_FORCE_PALLAS): the sorted-traversal
+        #     Pallas kernels (ops/sorted_traverse.py) -- VMEM-resident table
+        #     when it fits, HBM-streaming DMA otherwise, so mesh size is
+        #     bounded by HBM like the reference's in-RAM BVH (bvh.rs:78-141);
+        #   - pure-CPU fallback: XLA brute-force scan below bvh_threshold,
+        #     the gather-driven skip-link BVH above it.
+        want_pallas = (_on_accel() or _force_pallas()) and n_cat > 64
         if want_pallas or n_cat > bvh_threshold:
             # Build the skip-link BVH and reorder triangles to its layout so
             # leaf primitive ranges are contiguous (scene.rs:166-168's single
@@ -294,10 +303,15 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
             flat = build_bvh(tri_min, tri_max, leaf_size=PT.PACK_LEAF)
             cat = {k: v[flat.order] for k, v in cat.items()}
             if want_pallas:
+                pallas_tri_rows = STV.ROWS_PER_CHUNK_SORTED
                 ptris, pallas_tri_chunks = PT.pack_chunked(
                     flat, cat["v0"], cat["v1"], cat["v2"], cat["n"],
-                    ent=cat["ent"],
+                    ent=cat["ent"], rows_per_chunk=pallas_tri_rows,
                 )
+                resident_bytes = (
+                    ptris.tris.shape[0] + ptris.chunk_meta.shape[0]
+                ) * 128 * 4
+                pallas_tri_stream = resident_bytes >= PT.VMEM_LIMIT_BYTES
             else:
                 bvh_arrays = BvhArrays(
                     node_min=jnp.asarray(flat.node_min),
@@ -386,9 +400,12 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         use_bvh=use_bvh,
         has_fresnel=has_fresnel,
         pallas_tri_chunks=pallas_tri_chunks,
+        pallas_tri_stream=pallas_tri_stream,
+        pallas_tri_rows=pallas_tri_rows,
         pallas_sph_chunks=pallas_sph_chunks,
         n_sph_big=n_sph_big,
-        onehot_tables=_on_accel(),
+        onehot_tables=_on_accel() or _force_pallas(),
+        pallas_interpret=_force_pallas() and not _on_accel(),
     )
 
     cam = make_camera(

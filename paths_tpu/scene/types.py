@@ -122,10 +122,14 @@ class SceneStatic:
     sky_type: int
     use_bvh: bool = False
     has_fresnel: bool = False
-    # Pallas culled-chunk triangle intersector (ops/pallas_traverse.py):
-    # chunk count is compile-time (the kernel's culling loop is a static
-    # unroll); 0 disables the kernel (CPU runs, tiny or huge meshes).
+    # Pallas sorted-traversal triangle intersector (ops/sorted_traverse.py):
+    # chunk count is compile-time; 0 disables the kernel (CPU runs / tiny
+    # meshes).  pallas_tri_stream keeps the triangle table in HBM and DMAs
+    # chunks on demand (meshes past the VMEM-resident budget);
+    # pallas_tri_rows is the chunk granularity (rows of 8 triangles).
     pallas_tri_chunks: int = 0
+    pallas_tri_stream: bool = False
+    pallas_tri_rows: int = 8
     # Pallas culled-chunk sphere intersector; sphere array layout is
     # [0, n_sph_big) double-single-path spheres, then kernel spheres.
     pallas_sph_chunks: int = 0
@@ -141,6 +145,10 @@ class SceneStatic:
     # capability extension over the reference's skybox-on-miss).  Off by
     # default to match reference semantics exactly.
     env_nee: bool = False
+    # Run the Pallas kernels in interpret mode (CPU tests / multichip
+    # dryruns exercise the production kernel path without a TPU; set via
+    # PATHS_TPU_FORCE_PALLAS=1, see scene/build.py).
+    pallas_interpret: bool = False
 
     @property
     def has_spheres(self) -> bool:

@@ -183,9 +183,8 @@ def test_anyhit_tri_matches_closest_derived(tri_soup, rays):
     t_max = rng.uniform(0.1, 6.0, N).astype(np.float32)
     excl_ent = rng.integers(-1, 13, N).astype(np.int32)
 
-    t_ref, i_ref = brute(v0, v1, v2, n, o, d, excl)
     # Reference occlusion: ANY qualifying hit, not just the closest --
-    # rebuild it by brute force with the entity/t_max filters applied.
+    # build it by brute force with the entity/t_max filters applied.
     occ_ref = np.zeros(N, bool)
     oj, dj = jnp.asarray(o), jnp.asarray(d)
     for s in range(len(v0)):

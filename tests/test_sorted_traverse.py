@@ -1,0 +1,124 @@
+"""Sorted (front-to-back, early-exit, HBM-streaming) traversal kernels vs
+brute force, in interpret mode on CPU.
+
+closest_hit_sorted / occludes_sorted are the production triangle
+intersectors (ops/sorted_traverse.py); they must agree exactly with the
+streaming reference intersector on hits, distances and indices, in both
+stream (HBM + DMA) and resident (VMEM) modes.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from paths_tpu.bvh.build import build_bvh
+from paths_tpu.ops.pallas_traverse import PACK_LEAF, pack_chunked
+from paths_tpu.ops.sorted_traverse import (
+    ROWS_PER_CHUNK_SORTED,
+    closest_hit_sorted,
+    occludes_sorted,
+)
+from tests.test_pallas import brute  # shared brute-force reference
+
+BIG = 3.4e38
+
+
+@pytest.fixture(scope="module")
+def packed_soup():
+    rng = np.random.default_rng(7)
+    T = 300
+    c = rng.uniform(-1, 1, (T, 3))
+    v0 = c + rng.uniform(-0.1, 0.1, (T, 3))
+    v1 = c + rng.uniform(-0.1, 0.1, (T, 3))
+    v2 = c + rng.uniform(-0.1, 0.1, (T, 3))
+    n = np.cross(v1 - v0, v2 - v0)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    flat = build_bvh(tmin, tmax, leaf_size=PACK_LEAF, use_native=False)
+    order = flat.order
+    v0, v1, v2, n = v0[order], v1[order], v2[order], n[order]
+    ents = (np.arange(T) % 13).astype(np.int64)
+    ct, n_chunks = pack_chunked(
+        flat, v0, v1, v2, n, ent=ents, rows_per_chunk=ROWS_PER_CHUNK_SORTED
+    )
+    return ct, n_chunks, v0, v1, v2, n, ents
+
+
+@pytest.fixture(scope="module")
+def rays():
+    rng = np.random.default_rng(3)
+    N = 1500
+    o = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    excl = np.full(N, -1, np.int32)
+    excl[:200] = rng.integers(0, 300, 200)
+    # A band of dead lanes (integrator pushes origins to 1e30): they must
+    # come back as misses and must not break block culling for live lanes.
+    o[400:500] = 1e30
+    return o, d, excl
+
+
+@pytest.mark.parametrize("stream", [True, False])
+def test_closest_sorted_matches_bruteforce(packed_soup, rays, stream):
+    ct, n_chunks, v0, v1, v2, n, ents = packed_soup
+    o, d, excl = rays
+    t_ref, i_ref = brute(v0, v1, v2, n, o, d, excl)
+    t_ref[400:500] = BIG  # dead lanes: garbage brute hits don't count
+
+    t_p, i_p, e_p = closest_hit_sorted(
+        ct, n_chunks, jnp.asarray(o), jnp.asarray(d), jnp.asarray(excl),
+        jnp.full(len(o), BIG, jnp.float32), stream=stream, interpret=True,
+    )
+    t_p, i_p, e_p = np.asarray(t_p), np.asarray(i_p), np.asarray(e_p)
+
+    hit_ref = t_ref < 1e38
+    hit_p = t_p < 1e38
+    np.testing.assert_array_equal(hit_ref, hit_p)
+    np.testing.assert_allclose(t_p[hit_p], t_ref[hit_ref], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i_p[hit_ref], i_ref[hit_ref])
+    np.testing.assert_array_equal(e_p[hit_ref], ents[i_p[hit_ref]])
+
+
+def test_closest_sorted_respects_t_init(packed_soup, rays):
+    ct, n_chunks, *_ = packed_soup
+    o, d, excl = rays
+    t_p, _, _ = closest_hit_sorted(
+        ct, n_chunks, jnp.asarray(o), jnp.asarray(d), jnp.asarray(excl),
+        jnp.zeros(len(o), jnp.float32), interpret=True,
+    )
+    assert (np.asarray(t_p) >= 1e38).all()
+
+
+@pytest.mark.parametrize("stream", [True, False])
+def test_occludes_sorted_matches_bruteforce(packed_soup, rays, stream):
+    from paths_tpu.geom import triangle as GT
+
+    ct, n_chunks, v0, v1, v2, n, ents = packed_soup
+    o, d, excl = rays
+    rng = np.random.default_rng(17)
+    N = len(o)
+    t_max = rng.uniform(0.1, 6.0, N).astype(np.float32)
+    excl_ent = rng.integers(-1, 13, N).astype(np.int32)
+
+    occ_ref = np.zeros(N, bool)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    for s in range(len(v0)):
+        t, hit, *_ = GT.intersect(
+            oj, dj, jnp.asarray(v0[s]), jnp.asarray(v1[s]),
+            jnp.asarray(v2[s]), jnp.asarray(n[s]),
+        )
+        t = np.asarray(t)
+        ok = (
+            np.asarray(hit) & (t < t_max) & (np.int32(s) != excl)
+            & (ents[s] != excl_ent)
+        )
+        occ_ref |= ok
+    occ_ref[400:500] = False  # dead lanes never occlude
+
+    occ = occludes_sorted(
+        ct, n_chunks, oj, dj, jnp.asarray(excl), jnp.asarray(excl_ent),
+        jnp.asarray(t_max), stream=stream, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(occ), occ_ref)
