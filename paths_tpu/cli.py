@@ -27,6 +27,13 @@ def main(argv=None):
     ap.add_argument("--stress", type=int, default=500,
                     help="stress-scene sphere count when no scene given")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--dp", default=None, metavar="N|all",
+                    help="shard pixel lanes over N devices (or every visible "
+                         "device with 'all'); scene stays replicated, "
+                         "accumulation stays device-resident per chip")
+    ap.add_argument("--multihost", action="store_true",
+                    help="join the jax.distributed runtime first (multi-host "
+                         "pods; pass coordinator via JAX env vars)")
     ap.add_argument("--env-nee", action="store_true",
                     help="importance-sample the HDRI skybox as a light "
                          "(lower variance for sun-like environments)")
@@ -48,6 +55,27 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.multihost:
+        from paths_tpu.dist import init_multihost
+
+        init_multihost()
+
+    mesh = None
+    if args.dp:
+        import jax
+
+        from paths_tpu.dist import make_mesh
+
+        devs = jax.devices()
+        if args.dp != "all":
+            n = int(args.dp)
+            if n > len(devs):
+                raise SystemExit(f"--dp {n}: only {len(devs)} devices visible")
+            devs = devs[:n]
+        mesh = make_mesh(devs)
+        print(f"dp mesh over {len(devs)} device(s): "
+              f"{[str(d) for d in mesh.devices.flat]}")
 
     from paths_tpu.scene.build import build_scene
     from paths_tpu.scene.yaml_loader import load_scene_description

@@ -13,8 +13,8 @@ section 2, parallelism table):
     ``psum`` over ICI inside ``shard_map`` (the analogue of DP gradient
     all-reduce, overlapped by XLA's scheduler).
 
-Multi-host: call ``jax.distributed.initialize()`` before building the mesh
-(initialize() is a no-op under a single controller).
+Multi-host: call ``init_multihost()`` (a thin wrapper over
+``jax.distributed.initialize``) before building the mesh.
 """
 
 from __future__ import annotations
@@ -27,6 +27,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from paths_tpu import render as R
 from paths_tpu.grad import get_params, l2_loss, with_params
+
+
+def init_multihost(coordinator_address=None, num_processes=None,
+                   process_id=None):
+    """Multi-host entry point: join the jax.distributed runtime so
+    ``jax.devices()`` spans every host's chips and the dp mesh rides
+    ICI within a slice / DCN across hosts.
+
+    With no arguments, relies on the cluster environment (TPU pods and
+    the standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID variables are auto-detected by JAX).  Safe to call
+    once per process, before any device query."""
+    kw = {}
+    if coordinator_address is not None:
+        kw["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
 
 
 def make_mesh(devices=None, axis: str = "dp") -> Mesh:
@@ -49,6 +69,33 @@ def sharded_render_wave(static, mesh: Mesh, axis: str = "dp"):
         in_shardings=(repl, repl, lane, lane, lane, lane, repl),
         out_shardings=lane,
     )
+
+
+def sharded_render_samples(static, mesh: Mesh, n_samples: int, axis: str = "dp"):
+    """The production forward (render_samples' regenerating wavefront) as an
+    explicit per-device SPMD program: each chip runs the full local pipeline
+    -- coherence sort, Pallas traversal kernels, while-loop regeneration --
+    over its own pixel shard, with zero cross-chip traffic on the forward
+    path.  ``shard_map`` (not jit+in_shardings) so the Pallas custom calls
+    never meet the SPMD partitioner: they simply execute per device, exactly
+    as single-chip.  Lane count must divide by the mesh size.
+
+    Returns a jitted fn (scene, cam, px, py, pid, sample_start, seed) ->
+    (N, 3) lane-sharded radiance sums."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def fwd(scene, cam, px, py, pid, sample_start, seed):
+        return R.render_samples(
+            static, scene, cam, px, py, pid, sample_start, n_samples, seed
+        )
+
+    return jax.jit(fwd)
 
 
 def sharded_train_step(static, mesh: Mesh, axis: str = "dp", lr: float = 0.05):

@@ -702,10 +702,17 @@ def _coherence_perm(o, d, lo, hi):
         | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
         | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
     )
-    # morton is 30 bits; keep the top 24 so octant fits below (key = u32
-    # (morton >> 6) << 3 | octant): within a 1024-lane block the dropped 6
-    # bits are sub-block noise anyway.
-    key = ((m >> 6) << 3) | octant
+    # Octant-MAJOR (octant in the high bits, morton below): the block cull's
+    # interval slab test needs a sign-pure direction interval per axis -- an
+    # axis whose directions span zero contributes (-inf, inf), i.e. no cull
+    # at all.  Octant-major guarantees at most 7 mixed blocks per wave (the
+    # group boundaries); within an octant, morton order keeps origins
+    # compact exactly as before.  For primary waves (all lanes share an
+    # octant) the two orders coincide.  Dead lanes (origin pushed past 1e29
+    # by the integrator or the root cull) sort above every octant so they
+    # pack into one contiguous all-dead tail regardless of direction.
+    key = (octant << 27) | (m >> 3)
+    key = jnp.where(o[:, 0] > 1e29, jnp.uint32(0xFFFFFFFF), key)
     return jnp.argsort(key)
 
 

@@ -65,21 +65,30 @@ from paths_tpu.ops.pallas_traverse import (
 # DMA; matches tris_pad's row padding so chunk row ranges are always full.
 ROWS_PER_CHUNK_SORTED = 8
 
+# Streaming prefetch depth (ring buffer slots).  A 4 KB HBM->VMEM copy is
+# latency-bound (~1us) while a chunk's gated processing is often shorter, so
+# one-ahead double buffering leaves the loop waiting on DMAs; 4 in flight
+# hides the latency at 12 KB of scratch.
+STREAM_NBUF = 4
+
+# Experiment knob: disable the per-row AABB gates (used by the traversal
+# microbenchmark to isolate gate overhead; always True in production).
+_ROW_GATES = True
+
 # Keys >= this are "miss" sentinels (chunk can't be hit by this block).
 _MISS = np.float32(1e38)
 # Integrator's dead-lane origin push is 1e30; anything past this is dead.
 _DEAD = np.float32(1e29)
 
 
-def _block_cull_sort(o, d, t_ub_lane, meta, n_chunks):
-    """Conservative per-(block, chunk) cull + front-to-back order.
+def _block_cull_keys(o, d, t_ub_lane, meta, n_chunks):
+    """Conservative per-(block, chunk) cull: raw entry-distance keys.
 
     o, d: (grid*8, 128, 3)-reshapable (N, 3) lane arrays AFTER padding (N a
     multiple of BLOCK_N).  t_ub_lane: (N,) per-lane upper bound on a useful
     hit (t_init for closest-hit, t_max for occlusion).  meta: (Cpad, 128)
-    chunk rows.  Returns (ids, keys): (grid, n_chunks) int32 chunk order and
-    f32 ascending lower-bound entry distances (_MISS where the block cannot
-    hit the chunk).
+    chunk rows.  Returns keys: (grid, n_chunks) f32 lower-bound entry
+    distances, _MISS where the block cannot usefully hit the chunk.
 
     The slab test is evaluated in interval arithmetic over the block's live
     lanes: origins bound by a box, directions by a per-axis interval.  An
@@ -148,22 +157,60 @@ def _block_cull_sort(o, d, t_ub_lane, meta, n_chunks):
         & (tmin < t_ub[:, None])
         & block_alive[:, None]
     )
-    keys = jnp.where(hit, tmin, _MISS)
+    return jnp.where(hit, tmin, _MISS)
+
+
+def _block_cull_sort(o, d, t_ub_lane, meta, n_chunks):
+    """Cull + full front-to-back order: (ids, keys) with keys ascending
+    (_MISS sentinels sort last, terminating the walk)."""
+    keys = _block_cull_keys(o, d, t_ub_lane, meta, n_chunks)
     order = jnp.argsort(keys, axis=1).astype(jnp.int32)
     skeys = jnp.take_along_axis(keys, order, axis=1)
     return order, skeys
 
 
+def _block_cull_topk(o, d, t_ub_lane, meta, n_chunks, k):
+    """Cull + the k nearest candidate chunks per block (ascending keys).
+    top_k instead of a full argsort: phase 1 of the two-phase walk only
+    needs the front of the order."""
+    keys = _block_cull_keys(o, d, t_ub_lane, meta, n_chunks)
+    neg, idx = lax.top_k(-keys, k)
+    return idx.astype(jnp.int32), -neg
+
+
+def _block_cull_compact(o, d, t_ub_lane, meta, n_chunks):
+    """Cull + candidates compacted to the front IN CHUNK-ID ORDER (no
+    front-to-back sort).  Keys are 0 for candidates and _MISS past them, so
+    the kernel's ordered-walk machinery degenerates to exactly the right
+    semantics: walk every candidate (no distance-based early exit -- phase-2
+    straggler lanes rarely beat one anyway), stop at the first _MISS, and
+    exit immediately when every lane is done (t_cap > 0 fails).  Id order
+    keeps the streamed DMA reads near-sequential in HBM."""
+    keys = _block_cull_keys(o, d, t_ub_lane, meta, n_chunks)
+    hit = keys < _MISS
+    order = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
+    skeys = jnp.where(
+        jnp.take_along_axis(hit, order, axis=1), jnp.float32(0.0), _MISS
+    )
+    return order, skeys
+
+
 def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
-                        anyhit: bool, stream: bool):
+                        anyhit: bool, stream: bool, emit_bound: bool = False):
     """Kernel factory.  Refs:
       ids (SMEM (1, Cpad)), keys (SMEM (1, Cpad)), meta (VMEM), table
       (ANY=HBM when stream else VMEM), ray blocks... [+ excl_ent, t seeds],
-      outputs, then scratch (VMEM (2*rows, 128)) + DMA sems (2,) when
-      streaming."""
+      outputs, then scratch (VMEM ring) + DMA sems when streaming.
+
+    emit_bound (closest-hit only): adds a 4th output -- the key at the walk's
+    stopping position, a LOWER bound on every unvisited chunk's per-lane
+    entry distance.  A lane with t_best <= bound provably cannot be improved
+    by the unvisited tail: the two-phase walk uses this as its per-lane
+    done test."""
     R = rows_per_chunk
     C = n_chunks
-    row_cull = rows_per_chunk <= 15  # per-row AABBs present in meta
+    # per-row AABBs present in meta (and gating enabled)
+    row_cull = rows_per_chunk <= 15 and _ROW_GATES
 
     def kernel(ids_ref, keys_ref, meta_ref, tab_ref, ox, oy, oz, dx, dy, dz,
                excl, *rest):
@@ -172,9 +219,10 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
             outs = rest[2:3]
             extra = rest[3:]
         else:
+            n_out = 4 if emit_bound else 3
             tinit = rest[0]
-            outs = rest[1:4]
-            extra = rest[4:]
+            outs = rest[1:1 + n_out]
+            extra = rest[1 + n_out:]
         if stream:
             scratch, sems = extra
         o = (ox[:], oy[:], oz[:])
@@ -208,6 +256,15 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                     sems.at[slot],
                 )
 
+            def issue(j):
+                """Start chunk j's copy into ring slot j % NBUF (if j is a
+                live candidate)."""
+                key_j = chunk_key(jnp.minimum(j, C - 1))
+
+                @pl.when((j < C) & (key_j < _MISS))
+                def _():
+                    dma(j % STREAM_NBUF, chunk_id(j)).start()
+
         def read_row(slot, c, r):
             if stream:
                 return scratch[pl.ds(slot * R + r, 1), :]
@@ -215,9 +272,11 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
 
         key0 = chunk_key(0)
         if stream:
-            @pl.when(key0 < _MISS)
-            def _():
-                dma(0, chunk_id(0)).start()
+            # Fill the prefetch ring: chunks 0..NBUF-2 (the body issues
+            # k+NBUF-1 before waiting on k, keeping NBUF-1 copies in
+            # flight).
+            for j in range(STREAM_NBUF - 1):
+                issue(jnp.int32(j))
 
         zero_i = jnp.zeros(BLOCK, jnp.int32)
         if anyhit:
@@ -231,19 +290,16 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
 
         def body(carry):
             k, key_k, tb = carry[0], carry[1], carry[2]
-            slot = k & 1
+            slot = k % STREAM_NBUF if stream else k & 1
             c = chunk_id(k)
             k1 = jnp.minimum(k + 1, C - 1)
             key1 = chunk_key(k1)
             if stream:
-                # Issue chunk k+1's copy before processing chunk k; the
-                # early-exit check can't run yet (tb not final), so the
-                # prefetch may be wasted on the last iteration -- the drain
-                # after the loop waits for it.
-                @pl.when((k + 1 < C) & (key1 < _MISS))
-                def _():
-                    dma(1 - slot, chunk_id(k1)).start()
-
+                # Top up the ring (chunk k+NBUF-1) before waiting on chunk
+                # k; the early-exit check can't run yet (tb not final), so
+                # up to NBUF-1 prefetches may be wasted on exit -- the drain
+                # after the loop waits for them.
+                issue(k + STREAM_NBUF - 1)
                 dma(slot, c).wait()
 
             # Precise per-lane slab test on the chunk AABB (conservative
@@ -320,17 +376,16 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
         k_end, key_end, tb = carry[0], carry[1], carry[2]
 
         if stream:
-            # Drain: the loop prefetches chunk k_end before deciding to
-            # stop, so a copy may still be in flight.
-            @pl.when((k_end > 0) & (k_end < C) & (key_end < _MISS))
-            def _():
-                dma(k_end & 1, chunk_id(k_end)).wait()
+            # Drain: chunks k_end..k_end+NBUF-2 may have copies in flight
+            # (pre-loop fill when the loop never ran, ring top-ups when it
+            # exited early).  Wait for each live one.
+            for i in range(STREAM_NBUF - 1):
+                j = k_end + i
+                key_j = chunk_key(jnp.minimum(j, C - 1))
 
-            # k_end == 0: only the pre-loop prefetch may be in flight (the
-            # loop never ran -- all lanes were already done).
-            @pl.when((k_end == 0) & (key0 < _MISS))
-            def _():
-                dma(0, chunk_id(0)).wait()
+                @pl.when((j < C) & (key_j < _MISS))
+                def _(j=j):
+                    dma(j % STREAM_NBUF, chunk_id(j)).wait()
 
         if anyhit:
             outs[0][:] = tb
@@ -338,20 +393,36 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
             outs[0][:] = jnp.where(tb < t0, tb, BIG)
             outs[1][:] = carry[3]
             outs[2][:] = carry[4]
+            if emit_bound:
+                outs[3][:] = jnp.broadcast_to(key_end, BLOCK)
 
     return kernel
 
 
-def _prep_lanes(x, fill, N, npad, grid):
-    x = jnp.concatenate([x, jnp.full(npad - N, fill, x.dtype)]) if npad != N else x
-    return x.reshape(grid * BLOCK[0], BLOCK[1])
+# Two-phase (straggler-compacted) closest-hit engages above this chunk
+# count; below it one full front-to-back walk is cheaper than two launches.
+_TWO_PHASE_MIN_CHUNKS = 512
+# Phase-1 walk length: candidate chunks visited before stragglers are
+# re-blocked.  Front-to-back, ~all hitting lanes finish within this many.
+PHASE1_K = 64
 
 
 def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
                    rows_per_chunk, row_test, anyhit, stream, excl_ent=None,
-                   interpret=False):
+                   interpret=False, two_phase=None):
     """Shared launch: coherence sort, pad, block cull + order, pallas_call,
-    unsort.  t_seed is t_init (closest) or t_max (anyhit)."""
+    unsort.  t_seed is t_init (closest) or t_max (anyhit).
+
+    Closest-hit on large meshes runs TWO PHASES (the packet-traversal fix
+    for divergence): a block visits the union of its lanes' candidate
+    chunks, so one straggler lane -- typically a miss ray -- drags all 1024
+    lanes through the whole candidate list at full per-chunk cost.  Phase 1
+    walks only the PHASE1_K nearest candidates per block and proves most
+    lanes done (t_best <= lower bound of everything unvisited); phase 2
+    compacts the stragglers into their own (mostly-dead-free) blocks and
+    finishes them.  Finished lanes pack into all-done blocks whose walk
+    exits immediately, so phase 2's cost scales with the straggler count,
+    not the wave size."""
     N = o.shape[0]
     npad = -(-N // BLOCK_N) * BLOCK_N
     grid = npad // BLOCK_N
@@ -363,9 +434,28 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
     meta = lax.stop_gradient(meta)
     table = lax.stop_gradient(table)
 
+    # Root cull: a lane whose ray provably misses the mesh's root AABB
+    # (slightly enlarged so f32 rounding stays conservative) cannot hit any
+    # chunk with t < its seed -- mark it dead (origin -> 1e30).  The
+    # coherence sort then packs such lanes into all-dead tail blocks whose
+    # walk culls every chunk and exits immediately, so sky rays and
+    # off-mesh shadow rays (usually most of a wave) stop dragging their
+    # blocks through the full candidate walk.  Results are unchanged: dead
+    # lanes come back as misses, which is what they are.
+    lo, hi = _meta_bounds(meta)
+    ext = jnp.maximum(hi - lo, 1e-6)
+    lo_e = lo - 1e-3 * ext
+    hi_e = hi + 1e-3 * ext
+    inv_d = 1.0 / d
+    rt0 = (lo_e[None, :] - o) * inv_d
+    rt1 = (hi_e[None, :] - o) * inv_d
+    rtmin = jnp.max(jnp.minimum(rt0, rt1), axis=1)
+    rtmax = jnp.min(jnp.maximum(rt0, rt1), axis=1)
+    root_hit = (rtmin < rtmax) & (rtmax > 0.0) & (rtmin < t_seed)
+    o = jnp.where(root_hit[:, None], o, 1e30)
+
     perm = None
     if N >= _SORT_MIN_N:
-        lo, hi = _meta_bounds(meta)
         perm = _coherence_perm(o, d, lo, hi)
         cols = [o, d, excl_idx.astype(jnp.float32)[:, None], t_seed[:, None]]
         if anyhit:
@@ -384,80 +474,161 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
     o_p = cat(o, 1e30)
     d_p = cat(d, 1.0)
     t_p = cat(t_seed, 0.0)
+    excl_p = cat(excl_idx, jnp.int32(-1))
+    eent_p = cat(excl_ent.astype(jnp.int32), jnp.int32(-1)) if anyhit else None
 
-    ids, keys = _block_cull_sort(o_p, d_p, t_p, meta, n_chunks)
-    cpad = -(-n_chunks // 8) * 8
-    if cpad != n_chunks:
-        ids = jnp.pad(ids, ((0, 0), (0, cpad - n_chunks)))
-        keys = jnp.pad(keys, ((0, 0), (0, cpad - n_chunks)),
-                       constant_values=_MISS)
-
-    args = [
-        _prep_lanes(o_p[:, 0], 1e30, npad, npad, grid),
-        _prep_lanes(o_p[:, 1], 1e30, npad, npad, grid),
-        _prep_lanes(o_p[:, 2], 1e30, npad, npad, grid),
-        _prep_lanes(d_p[:, 0], 1.0, npad, npad, grid),
-        _prep_lanes(d_p[:, 1], 1.0, npad, npad, grid),
-        _prep_lanes(d_p[:, 2], 1.0, npad, npad, grid),
-        _prep_lanes(excl_idx, -1, N, npad, grid),
-    ]
-    if anyhit:
-        args.append(_prep_lanes(excl_ent, -1, N, npad, grid))
-    args.append(_prep_lanes(t_seed, 0.0, N, npad, grid))
-
-    # SMEM rows ride as (grid, 1, cpad) so the block's trailing two dims
-    # equal the array's (a Mosaic block-shape requirement); each program
-    # sees its (1, 1, cpad) row.
-    ids = ids.reshape(grid, 1, cpad)
-    keys = keys.reshape(grid, 1, cpad)
-    ray_spec = pl.BlockSpec(BLOCK, lambda i: (i, 0), memory_space=pltpu.VMEM)
-    smem_row = pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0),
-                            memory_space=pltpu.SMEM)
-    meta_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    tab_spec = pl.BlockSpec(
-        memory_space=pl.ANY if stream else pltpu.VMEM
-    )
-    n_ray_args = len(args)
-    scratch_shapes = []
-    if stream:
-        scratch_shapes = [
-            pltpu.VMEM((2 * rows_per_chunk, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+    def run(ids, keys, n_c, o_, d_, excl_, t_, eent_=None, emit_bound=False):
+        """One pallas_call over padded lane arrays with a given chunk
+        order."""
+        cpad = -(-n_c // 8) * 8
+        if cpad != n_c:
+            ids = jnp.pad(ids, ((0, 0), (0, cpad - n_c)))
+            keys = jnp.pad(keys, ((0, 0), (0, cpad - n_c)),
+                           constant_values=_MISS)
+        args = [
+            o_[:, 0].reshape(grid * BLOCK[0], BLOCK[1]),
+            o_[:, 1].reshape(grid * BLOCK[0], BLOCK[1]),
+            o_[:, 2].reshape(grid * BLOCK[0], BLOCK[1]),
+            d_[:, 0].reshape(grid * BLOCK[0], BLOCK[1]),
+            d_[:, 1].reshape(grid * BLOCK[0], BLOCK[1]),
+            d_[:, 2].reshape(grid * BLOCK[0], BLOCK[1]),
+            excl_.reshape(grid * BLOCK[0], BLOCK[1]),
         ]
+        if anyhit:
+            args.append(eent_.reshape(grid * BLOCK[0], BLOCK[1]))
+        args.append(t_.reshape(grid * BLOCK[0], BLOCK[1]))
 
-    kernel = _make_sorted_kernel(n_chunks, rows_per_chunk, row_test, anyhit,
-                                 stream)
+        # SMEM rows ride as (grid, 1, cpad) so the block's trailing two dims
+        # equal the array's (a Mosaic block-shape requirement); each program
+        # sees its (1, 1, cpad) row.
+        ids = ids.reshape(grid, 1, cpad)
+        keys = keys.reshape(grid, 1, cpad)
+        ray_spec = pl.BlockSpec(BLOCK, lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        smem_row = pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM)
+        meta_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        tab_spec = pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM)
+        scratch_shapes = []
+        if stream:
+            scratch_shapes = [
+                pltpu.VMEM((STREAM_NBUF * rows_per_chunk, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((STREAM_NBUF,)),
+            ]
+
+        kernel = _make_sorted_kernel(n_c, rows_per_chunk, row_test, anyhit,
+                                     stream, emit_bound)
+        fshape = jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.float32)
+        ishape = jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.int32)
+        if anyhit:
+            out_shape = fshape
+            out_specs = ray_spec
+        else:
+            n_out = 4 if emit_bound else 3
+            out_shape = tuple([fshape, ishape, ishape, fshape][:n_out])
+            out_specs = tuple([ray_spec] * n_out)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[smem_row, smem_row, meta_spec, tab_spec]
+            + [ray_spec] * len(args),
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(ids, keys, meta, table, *args)
+
+    if two_phase is None:
+        # Measured on TPU v5e (398k-tri mesh, 345k-ray wave): two-phase is
+        # SLOWER than the single front-to-back walk on both coherent
+        # (133 -> 163 ms) and incoherent (908 -> 1112 ms) waves -- miss
+        # lanes can never be proven done by phase 1 (their bound only
+        # collapses when every candidate is exhausted), so phase 2 repeats
+        # most of the walk and the extra launches/sorts are pure overhead.
+        # Kept as an opt-in for hit-dominated workloads; off by default.
+        two_phase = False
+
     if anyhit:
-        out_shape = jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.float32)
-        out_specs = ray_spec
-    else:
-        out_shape = (
-            jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.float32),
-            jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.int32),
-            jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.int32),
-        )
-        out_specs = (ray_spec, ray_spec, ray_spec)
-
-    res = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[smem_row, smem_row, meta_spec, tab_spec] + [ray_spec] * n_ray_args,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch_shapes,
-        interpret=interpret,
-    )(ids, keys, meta, table, *args)
-
-    if anyhit:
+        ids, keys = _block_cull_sort(o_p, d_p, t_p, meta, n_chunks)
+        res = run(ids, keys, n_chunks, o_p, d_p, excl_p, t_p, eent_p)
         t_out = res.reshape(npad)[:N]
         if perm is not None:
             t_out = jnp.zeros_like(t_out).at[perm].set(t_out)
         return t_out == 0.0
 
-    t_out, i_out, e_out = res
-    t_out = t_out.reshape(npad)[:N]
-    i_out = i_out.reshape(npad)[:N]
-    e_out = e_out.reshape(npad)[:N]
+    if not two_phase:
+        ids, keys = _block_cull_sort(o_p, d_p, t_p, meta, n_chunks)
+        res = run(ids, keys, n_chunks, o_p, d_p, excl_p, t_p)
+        t_out, i_out, e_out = res
+        t_out = t_out.reshape(npad)[:N]
+        i_out = i_out.reshape(npad)[:N]
+        e_out = e_out.reshape(npad)[:N]
+    else:
+        K = min(PHASE1_K, n_chunks)
+        ids1, keys1 = _block_cull_topk(o_p, d_p, t_p, meta, n_chunks, K)
+        t1, i1, e1, bound = run(ids1, keys1, K, o_p, d_p, excl_p, t_p,
+                                emit_bound=True)
+        t1 = t1.reshape(npad)
+        i1 = i1.reshape(npad)
+        e1 = e1.reshape(npad)
+        bound = bound.reshape(npad)
+        # t1 == BIG means "nothing beat the seed"; the lane's current best
+        # is then the seed itself (e.g. a closer sphere hit).
+        t_eff = jnp.minimum(t1, t_p)
+        dead = o_p[:, 0] > _DEAD
+        # bound >= _MISS: the walk exhausted every candidate -- anything
+        # unvisited was culled as unhittable, so the lane is done even at
+        # t_eff == BIG (a miss lane with no candidates left).
+        done = dead | (t_eff <= bound) | (bound >= _MISS)
+
+        # Compact stragglers to the front; done lanes pack into all-done
+        # blocks that cull every chunk and exit the walk instantly.
+        perm2 = jnp.argsort(done, stable=True).astype(jnp.int32)
+        packed2 = jnp.take(
+            jnp.concatenate(
+                [
+                    o_p, d_p,
+                    excl_p.astype(jnp.float32)[:, None],
+                    t_eff[:, None],
+                    t1[:, None],
+                    i1.astype(jnp.float32)[:, None],
+                    e1.astype(jnp.float32)[:, None],
+                    done.astype(jnp.float32)[:, None],
+                ],
+                axis=1,
+            ),
+            perm2, axis=0,
+        )
+        done2 = packed2[:, 12] > 0.5
+        o2 = jnp.where(done2[:, None], 1e30, packed2[:, 0:3])
+        d2 = packed2[:, 3:6]
+        excl2 = packed2[:, 6].astype(jnp.int32)
+        t_eff2 = packed2[:, 7]
+
+        ids2, keys2 = _block_cull_compact(o2, d2, t_eff2, meta, n_chunks)
+        t2, i2, e2 = run(ids2, keys2, n_chunks, o2, d2, excl2, t_eff2)
+        t2 = t2.reshape(npad)
+        i2 = i2.reshape(npad)
+        e2 = e2.reshape(npad)
+
+        # Merge: phase 2 beat the phase-1 best, else phase 1 beat the
+        # original seed, else BIG (the caller's "no triangle hit" contract).
+        hit2 = t2 < BIG
+        hit1 = packed2[:, 8] < BIG
+        t_m = jnp.where(hit2, t2, jnp.where(hit1, packed2[:, 8], BIG))
+        i_m = jnp.where(hit2, i2, packed2[:, 9].astype(jnp.int32))
+        e_m = jnp.where(hit2, e2, packed2[:, 10].astype(jnp.int32))
+
+        # Undo the straggler compaction.
+        packed_u = jnp.stack(
+            [t_m, i_m.astype(jnp.float32), e_m.astype(jnp.float32)], 1
+        )
+        restored2 = jnp.zeros_like(packed_u).at[perm2].set(packed_u)
+        t_out = restored2[:N, 0]
+        i_out = restored2[:N, 1].astype(jnp.int32)
+        e_out = restored2[:N, 2].astype(jnp.int32)
+
     if perm is not None:
         packed_out = jnp.stack(
             [t_out, i_out.astype(jnp.float32), e_out.astype(jnp.float32)], 1
@@ -471,15 +642,17 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
 
 def closest_hit_sorted(ct, n_chunks, o, d, excl_idx, t_init,
                        rows_per_chunk=ROWS_PER_CHUNK_SORTED, stream=True,
-                       interpret=False):
+                       interpret=False, two_phase=None):
     """Closest triangle hit via sorted (front-to-back) chunk traversal.
     Same contract as pallas_traverse.closest_hit_chunked: (t, idx, ent),
     t == BIG where nothing beat t_init.  stream=True keeps the triangle
-    table in HBM (DMA'd per chunk); stream=False requires it VMEM-resident."""
+    table in HBM (DMA'd per chunk); stream=False requires it VMEM-resident.
+    two_phase: force the straggler-compacted two-phase walk on/off (default:
+    on above _TWO_PHASE_MIN_CHUNKS)."""
     return _launch_sorted(
         ct.chunk_meta, ct.tris, o, d, excl_idx, t_init, n_chunks,
         rows_per_chunk, _tri_row_test, anyhit=False, stream=stream,
-        interpret=interpret,
+        interpret=interpret, two_phase=two_phase,
     )
 
 

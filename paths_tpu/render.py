@@ -237,6 +237,7 @@ def render_image(
     start_sample: int = 0,
     on_batch=None,
     sample_batch: int = 8,
+    mesh=None,
 ) -> np.ndarray:
     """Render a full frame at `spp` samples per pixel.  Returns (H, W, 3)
     linear-RGB float64 means.
@@ -247,6 +248,13 @@ def render_image(
     passing the loaded `est` and `start_sample`; identical RNG streams make
     the result bit-identical to an uninterrupted render.
     `on_batch(est, next_sample)` fires after each full-frame batch.
+
+    mesh: a ``jax.sharding.Mesh`` (see paths_tpu.dist.make_mesh) shards each
+    wave's pixel lanes over the mesh's devices -- the multi-chip replacement
+    for the reference's worker pool (renderer.rs:34-69).  Accumulation then
+    stays device-resident and lane-sharded (one shard per chip, no cross-chip
+    traffic on the forward path); the host only fetches when the image, a
+    progress callback, or a checkpoint needs it.
     """
     if est is None:
         est = Estimator(width, height)
@@ -256,6 +264,10 @@ def render_image(
     py_all = (pix // width).astype(np.int32)
 
     tile = min(tile_pixels, n_pix)
+    if mesh is not None:
+        # Lane shards must be equal-sized across devices.
+        n_dev = int(mesh.devices.size)
+        tile = -(-tile // n_dev) * n_dev
     # Batch samples on-device in groups to bound per-dispatch latency while
     # amortising dispatch overhead.
     sample_batch = min(spp, sample_batch)
@@ -271,21 +283,56 @@ def render_image(
             jnp.asarray(np.pad(pix[sl], (0, pad))),
         ))
 
+    if mesh is None:
+        run = lambda px_j, py_j, pid_j, s, k: _render_samples_jit(
+            static, scene, cam, px_j, py_j, pid_j, jnp.uint32(s), k, seed
+        )
+    else:
+        from paths_tpu import dist
+
+        _sharded = {}
+
+        def run(px_j, py_j, pid_j, s, k):
+            fn = _sharded.get(k)
+            if fn is None:
+                fn = _sharded[k] = dist.sharded_render_samples(static, mesh, k)
+            return fn(scene, cam, px_j, py_j, pid_j, jnp.uint32(s), seed)
+
+    # Sharded mode: accumulate on device per tile; flush() materialises the
+    # host estimator only when something needs to read it.
+    accs = [None] * len(tiles)
+    base_sum = est.sum.copy() if mesh is not None else None
+    base_count = est.count.copy() if mesh is not None else None
+
+    def flush(samples_done: int):
+        est.sum[:] = base_sum
+        est.count[:] = base_count
+        for (sl, n, _, _, _), acc in zip(tiles, accs):
+            if acc is None:
+                continue
+            est.sum[py_all[sl], px_all[sl]] += np.asarray(acc, np.float64)[:n]
+            est.count[py_all[sl], px_all[sl]] += samples_done
+
     s = start_sample
     while s < spp:
         k = min(sample_batch, spp - s)
-        for sl, n, px_j, py_j, pid_j in tiles:
-            col = _render_samples_jit(
-                static, scene, cam, px_j, py_j, pid_j, jnp.uint32(s), k, seed
-            )
-            col = np.asarray(col)[:n]
-            est.sum[py_all[sl], px_all[sl]] += col
-            est.count[py_all[sl], px_all[sl]] += k
+        for i, (sl, n, px_j, py_j, pid_j) in enumerate(tiles):
+            col = run(px_j, py_j, pid_j, s, k)
+            if mesh is not None:
+                accs[i] = col if accs[i] is None else accs[i] + col
+            else:
+                col = np.asarray(col)[:n]
+                est.sum[py_all[sl], px_all[sl]] += col
+                est.count[py_all[sl], px_all[sl]] += k
         s += k
         if progress:
             print(f"[render] samples {s}/{spp}")
         if on_batch is not None:
+            if mesh is not None:
+                flush(s - start_sample)
             on_batch(est, s)
+    if mesh is not None:
+        flush(s - start_sample)
     return est.mean()
 
 

@@ -102,3 +102,80 @@ def test_mesh_shapes(tiny, n_devices):
     col = fwd(scene, cam, px, py, pid, sid, 0)
     assert col.shape == (px.shape[0], 3)
     assert bool(jnp.isfinite(col).all())
+
+
+def test_sharded_render_samples_matches_local(tiny):
+    """The PRODUCTION forward (regenerating wavefront) under shard_map must
+    equal the single-device run -- this is the code path render_image(mesh=)
+    actually dispatches."""
+    from paths_tpu.dist import sharded_render_samples
+    from paths_tpu.render import render_samples
+
+    static, scene, cam, px, py, pid, sid = tiny
+    mesh = make_mesh()
+    fwd = sharded_render_samples(static, mesh, n_samples=2)
+    col_sharded = fwd(scene, cam, px, py, pid, jnp.uint32(0), 0)
+    col_local = render_samples(
+        static, scene, cam, px, py, pid, jnp.uint32(0), 2, 0
+    )
+    np.testing.assert_allclose(
+        np.asarray(col_sharded), np.asarray(col_local), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_render_image_mesh_matches_single_device(tiny):
+    """render_image(mesh=...) -- device-resident sharded accumulation --
+    must produce the same frame as the host-accumulated single-device path."""
+    from paths_tpu.render import render_image
+
+    static, scene, cam, *_ = tiny
+    W, H = 32, 8
+    img_local = render_image(static, scene, cam, W, H, spp=2, seed=3)
+    mesh = make_mesh()
+    img_sharded = render_image(static, scene, cam, W, H, spp=2, seed=3,
+                               mesh=mesh)
+    np.testing.assert_allclose(img_sharded, img_local, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_forced_pallas_matches_local(tmp_path):
+    """The production Pallas kernels (sorted triangle traversal, chunked
+    sphere kernel, one-hot tables) under shard_map on the 8-device mesh:
+    sharded == local, kernels engaged (VERDICT r1 item 5)."""
+    import os
+
+    from paths_tpu.dist import sharded_render_samples
+    from paths_tpu.render import render_samples
+    from paths_tpu.scene.stress import generate_mixed_scene
+    from paths_tpu.scene.build import build_scene
+
+    old = os.environ.get("PATHS_TPU_FORCE_PALLAS")
+    os.environ["PATHS_TPU_FORCE_PALLAS"] = "1"
+    try:
+        sd = generate_mixed_scene(str(tmp_path), n_spheres=40)
+        static, scene, cam = build_scene(sd)
+    finally:
+        if old is None:
+            os.environ.pop("PATHS_TPU_FORCE_PALLAS", None)
+        else:
+            os.environ["PATHS_TPU_FORCE_PALLAS"] = old
+    assert static.pallas_tri_chunks > 0
+    assert static.pallas_sph_chunks > 0
+    assert static.pallas_interpret
+    static = dataclasses.replace(static, max_bounces=2)
+
+    n = 256
+    pix = np.arange(n, dtype=np.uint32)
+    px = jnp.asarray((pix % 16).astype(np.int32))
+    py = jnp.asarray((pix // 16).astype(np.int32))
+    pid = jnp.asarray(pix)
+
+    mesh = make_mesh()
+    fwd = sharded_render_samples(static, mesh, n_samples=2)
+    col_sharded = fwd(scene, cam, px, py, pid, jnp.uint32(0), 0)
+    col_local = render_samples(
+        static, scene, cam, px, py, pid, jnp.uint32(0), 2, 0
+    )
+    assert np.isfinite(np.asarray(col_sharded)).all()
+    np.testing.assert_allclose(
+        np.asarray(col_sharded), np.asarray(col_local), rtol=1e-4, atol=1e-6
+    )

@@ -122,3 +122,29 @@ def test_occludes_sorted_matches_bruteforce(packed_soup, rays, stream):
         jnp.asarray(t_max), stream=stream, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(occ), occ_ref)
+
+def test_two_phase_matches_single_phase(packed_soup, rays):
+    """Opt-in straggler-compacted walk == single front-to-back walk on the
+    same soup/rays the brute-force parity test uses (incl. dead lanes and
+    per-lane exclusions)."""
+    ct, n_chunks, *_ = packed_soup
+    o, d, excl = rays
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    excl_j = jnp.asarray(excl)
+    t_init = jnp.full(o.shape[0], BIG, jnp.float32)
+
+    t_sp, i_sp, e_sp = closest_hit_sorted(
+        ct, n_chunks, oj, dj, excl_j, t_init, stream=True, interpret=True,
+        two_phase=False)
+    t_tp, i_tp, e_tp = closest_hit_sorted(
+        ct, n_chunks, oj, dj, excl_j, t_init, stream=True, interpret=True,
+        two_phase=True)
+    t_sp, t_tp = np.asarray(t_sp), np.asarray(t_tp)
+    hit_sp, hit_tp = t_sp < 1e38, t_tp < 1e38
+    assert hit_sp.sum() > 0
+    np.testing.assert_array_equal(hit_sp, hit_tp)
+    np.testing.assert_allclose(t_sp[hit_sp], t_tp[hit_sp], rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(i_sp)[hit_sp], np.asarray(i_tp)[hit_sp])
+    np.testing.assert_array_equal(
+        np.asarray(e_sp)[hit_sp], np.asarray(e_tp)[hit_sp])
