@@ -77,20 +77,39 @@ def bench_scene(scene_path: str, spp: int, tile: int = 345600, reps: int = 5):
 
 
 def main():
+    import os
+
     try:
         rays_per_sec = bench_scene(
             "/root/reference/scenes/spheres_on_plane.yml", spp=16
         )
-        print(
-            json.dumps(
-                {
-                    "metric": "rays/sec/chip (spheres_on_plane, 720x480, 16spp)",
-                    "value": round(rays_per_sec, 1),
-                    "unit": "rays/s",
-                    "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        rec = {
+            "metric": "rays/sec/chip (spheres_on_plane, 720x480, 16spp)",
+            "value": round(rays_per_sec, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        }
+        # Secondary tiers (analytic scene is the headline; a small mesh and
+        # a 200k-tri HBM-streaming mesh cover the triangle path) -- each is
+        # best-effort so a tier failure can't take down the headline.
+        repo = os.path.dirname(os.path.abspath(__file__))
+        tiers = {
+            "teapot_4spp": ("/root/reference/scenes/teapot.yml", 4),
+            "dragon_standin_4spp": (
+                os.path.join(repo, "scenes/dragon_standin.yml"), 4),
+        }
+        scenes = {}
+        for name, (path, spp) in tiers.items():
+            try:
+                rps = bench_scene(path, spp=spp, reps=3)
+                scenes[name] = {
+                    "rays_per_sec": round(rps, 1),
+                    "vs_baseline": round(rps / BASELINE_RAYS_PER_SEC, 3),
                 }
-            )
-        )
+            except Exception as e:
+                scenes[name] = {"error": f"{type(e).__name__}: {e}"[:120]}
+        rec["scenes"] = scenes
+        print(json.dumps(rec))
     except Exception as e:  # never crash the driver
         print(
             json.dumps(

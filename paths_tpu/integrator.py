@@ -82,10 +82,10 @@ _UNROLL_MAX = 64
 def _scan_spheres_pallas(static, scene, o, d, excl_kind, excl_idx):
     """Closest sphere hit on the TPU path: big/far spheres (double-single
     quadratic, unrolled -- there are at most a handful) seed t_best, then
-    the Pallas culled-chunk kernel covers the rest with cross-primitive
+    the sorted Pallas sphere kernel covers the rest with cross-primitive
     pruning via t_init.  Returns (t, idx, ent) -- entity ids come straight
     out of the kernel's packed rows, saving a per-lane gather."""
-    from paths_tpu.ops.pallas_traverse import closest_hit_spheres
+    from paths_tpu.ops.sorted_traverse import closest_hit_spheres_sorted
 
     excl = excl_kind == KIND_SPHERE
     t_best = jnp.full(o.shape[0], BIG)
@@ -98,7 +98,7 @@ def _scan_spheres_pallas(static, scene, o, d, excl_kind, excl_idx):
         i_best = jnp.where(ok, jnp.int32(s), i_best)
         e_best = jnp.where(ok, scene.sph_ent[s], e_best)
     excl_i = jnp.where(excl, excl_idx, jnp.int32(-1))
-    tk, ik, ek = closest_hit_spheres(
+    tk, ik, ek = closest_hit_spheres_sorted(
         scene.psph, static.pallas_sph_chunks, o, d, excl_i, t_best,
         interpret=static.pallas_interpret,
     )
@@ -291,8 +291,10 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
         f, _, _, e, t = intersect_brief(static, scene, o, d, excl_kind, excl_idx)
         return f & (t < t_max) & (e != excl_ent)
 
-    from paths_tpu.ops.pallas_traverse import occludes_spheres
-    from paths_tpu.ops.sorted_traverse import occludes_sorted
+    from paths_tpu.ops.sorted_traverse import (
+        occludes_sorted,
+        occludes_spheres_sorted,
+    )
 
     occ = jnp.zeros(N, bool)
     if static.has_spheres:
@@ -307,7 +309,7 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
             occ = occ | ok
         excl_i = jnp.where(excl_s, excl_idx, jnp.int32(-1))
         o_eff = jnp.where(occ[..., None], 1e30, o)
-        occ = occ | occludes_spheres(
+        occ = occ | occludes_spheres_sorted(
             scene.psph, static.pallas_sph_chunks, o_eff, d, excl_i, excl_ent,
             t_max, interpret=static.pallas_interpret,
         )
@@ -400,7 +402,12 @@ def _take_rows(table, idx, onehot: bool):
     -- exact selection (one nonzero per row), every column in one pass,
     differentiable, ~2x cheaper than ONE gather and ~14x cheaper than the
     per-column gathers it replaces."""
-    if onehot and table.shape[0] <= 2048:
+    # Size guard: the (N, R) indicator is transient and XLA fuses it into
+    # the matmul, but if fusion ever failed it would materialise N*R f32 --
+    # cap the product so a huge entity table on a full wave cannot silently
+    # OOM (345k lanes x 2048 rows = 2.8 GB).  Within the cap the one-hot
+    # path stays ~14x cheaper than per-column gathers.
+    if onehot and table.shape[0] <= 2048 and idx.shape[0] * table.shape[0] <= 1 << 30:
         r = jnp.arange(table.shape[0], dtype=jnp.int32)
         oh = (idx[:, None] == r[None, :]).astype(table.dtype)
         return jax.lax.dot_general(

@@ -25,7 +25,7 @@ Memory layout (built by pack_bvh):
      [0:3] aabb min, [3:6] aabb max, [6] hit_link, [7] miss_link,
      [8] leaf row index into tris, [9] prim count (0 for inner)
   tris: (R, 128) f32 rows, one LEAF (8 triangle slots of 16 floats) per row:
-     per slot [v0.xyz v1.xyz v2.xyz n.xyz gid area_abc pad pad]; empty slots
+     per slot [v0.xyz v1.xyz v2.xyz n.xyz gid inv_area ent n.v0]; empty slots
      are degenerate (n = 0 -> cos_theta == 0 -> never hit).
 Links/ids are stored as f32 (exact below 2^24 -- far beyond the builder's
 node-count panic threshold, bvh.rs:170-171).
@@ -107,6 +107,11 @@ def _pack_tri_rows(flat, v0, v1, v2, n, ent=None) -> np.ndarray:
     slot = g - leaf_start[row]
 
     area = np.einsum("ij,ij->i", n, np.cross(v1 - v0, v2 - v0))
+    # Per-triangle constants precomputed in f64 at pack time so the kernel
+    # saves a divide (1/area) and a 3-term dot (n.v0) per ray-triangle test.
+    # inv_area = 0 marks degenerate/empty slots (never hit).
+    inv_area = np.where(area != 0.0, 1.0 / np.where(area == 0.0, 1.0, area), 0.0)
+    dd = np.einsum("ij,ij->i", n, v0)
     tris = np.zeros((max(n_leaves, 1), 128), np.float32)
     tris[:, 12::TRI_STRIDE] = -1.0  # gid = -1 in empty slots
     base = slot * TRI_STRIDE
@@ -116,8 +121,9 @@ def _pack_tri_rows(flat, v0, v1, v2, n, ent=None) -> np.ndarray:
         tris[row, base + 6 + j] = v2[:, j]
         tris[row, base + 9 + j] = n[:, j]
     tris[row, base + 12] = g
-    tris[row, base + 13] = area
+    tris[row, base + 13] = inv_area
     tris[row, base + 14] = ent
+    tris[row, base + 15] = dd
     return tris
 
 
@@ -260,11 +266,11 @@ def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best,
         v2 = [bcast(c + 6 + j) for j in range(3)]
         nrm = [bcast(c + 9 + j) for j in range(3)]
         gid = tr[0, c + 12].astype(jnp.int32)
-        area = bcast(c + 13)
+        inv_area = bcast(c + 13)  # 0 for degenerate/empty slots
         ent = tr[0, c + 14].astype(jnp.int32)
+        dd_ = bcast(c + 15)  # n . v0, precomputed at pack time
 
         cos = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
-        dd_ = nrm[0] * v0[0] + nrm[1] * v0[1] + nrm[2] * v0[2]
         n_o = nrm[0] * o[0] + nrm[1] * o[1] + nrm[2] * o[2]
         denom = jnp.where(cos == 0.0, 1.0, cos)
         t = (dd_ - n_o) / denom
@@ -281,19 +287,20 @@ def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best,
         pa = [v0[j] - p[j] for j in range(3)]
         area_pbc = cross_dot_n(pb, pc)
         area_pca = cross_dot_n(pc, pa)
-        denom_a = jnp.where(area == 0.0, 1.0, area)
-        bx = area_pbc / denom_a
-        by = area_pca / denom_a
+        bx = area_pbc * inv_area
+        by = area_pca * inv_area
         bz = 1.0 - bx - by
 
+        # NB no isfinite(t) guard: inf t fails t < t_best, and NaN (only
+        # reachable via dead-lane 1e30 origins overflowing p) fails every
+        # >= comparison, so garbage lanes drop out of `ok` on their own.
         ok = (
             (cos != 0.0)
             & (t >= 0.0)
-            & jnp.isfinite(t)
             & (bx >= 0.0)
             & (by >= 0.0)
             & (bz >= 0.0)
-            & (area != 0.0)
+            & (inv_area != 0.0)
             & (t < t_best)
             & (gid != excl_i)
             & (gid >= 0)
@@ -682,7 +689,7 @@ def _spread3(x):
     return x
 
 
-def _coherence_perm(o, d, lo, hi):
+def _coherence_perm(o, d, lo, hi, octant_major: bool = False):
     """Lane permutation grouping rays by (morton(origin), direction octant).
 
     Chunk culling is per (8,128) block: a block's cost is the union of its
@@ -702,16 +709,27 @@ def _coherence_perm(o, d, lo, hi):
         | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
         | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
     )
-    # Octant-MAJOR (octant in the high bits, morton below): the block cull's
-    # interval slab test needs a sign-pure direction interval per axis -- an
-    # axis whose directions span zero contributes (-inf, inf), i.e. no cull
-    # at all.  Octant-major guarantees at most 7 mixed blocks per wave (the
-    # group boundaries); within an octant, morton order keeps origins
-    # compact exactly as before.  For primary waves (all lanes share an
-    # octant) the two orders coincide.  Dead lanes (origin pushed past 1e29
-    # by the integrator or the root cull) sort above every octant so they
-    # pack into one contiguous all-dead tail regardless of direction.
-    key = (octant << 27) | (m >> 3)
+    # Key order is per kernel family (measured on TPU v5e):
+    #   - octant_major=True (the sorted triangle kernels): the BLOCK-level
+    #     interval cull needs a sign-pure direction interval per axis -- an
+    #     axis whose directions span zero contributes (-inf, inf), i.e. no
+    #     cull at all.  Octant in the high bits guarantees at most 7 mixed
+    #     blocks per wave; within an octant, morton keeps origins compact.
+    #     (400k-tri incoherent wave: candidates/block drop 2.6x, walk time
+    #     halves.)
+    #   - octant_major=False (the linear sphere kernel): its cull is
+    #     per-LANE inside the kernel with no interval arithmetic, so origin
+    #     locality dominates; morton-major keeps a block's lanes near the
+    #     same sphere chunks.  (Switching the stress-500 scene to
+    #     octant-major cost 4.4x.)
+    # For primary waves (all lanes share an octant) the two orders
+    # coincide.  Dead lanes (origin pushed past 1e29 by the integrator or
+    # the root cull) sort above everything so they pack into one contiguous
+    # all-dead tail regardless of direction.
+    if octant_major:
+        key = (octant << 27) | (m >> 3)
+    else:
+        key = ((m >> 6) << 3) | octant
     key = jnp.where(o[:, 0] > 1e29, jnp.uint32(0xFFFFFFFF), key)
     return jnp.argsort(key)
 

@@ -61,19 +61,25 @@ from paths_tpu.ops.pallas_traverse import (
     _tri_row_test,
 )
 
-# Rows per chunk for the sorted kernels.  8 rows = 64 triangles = one 4 KB
-# DMA; matches tris_pad's row padding so chunk row ranges are always full.
-ROWS_PER_CHUNK_SORTED = 8
+# Rows per chunk for the sorted kernels.  15 rows = 120 triangles = one
+# 7.5 KB DMA -- the per-row-AABB limit (meta cols 8..127).  Measured on TPU
+# v5e at the 400k-tri scale, 15 beats 8 on both coherent (120 vs 128 ms/wave)
+# and incoherent (864 vs 908 ms) waves: per-chunk fixed cost (meta read,
+# slab test, loop/cond machinery) amortises over more rows.
+ROWS_PER_CHUNK_SORTED = 15
 
-# Streaming prefetch depth (ring buffer slots).  A 4 KB HBM->VMEM copy is
+# Streaming prefetch depth (ring buffer slots).  A chunk copy is
 # latency-bound (~1us) while a chunk's gated processing is often shorter, so
 # one-ahead double buffering leaves the loop waiting on DMAs; 4 in flight
-# hides the latency at 12 KB of scratch.
+# hides the latency at ~23 KB of scratch.
 STREAM_NBUF = 4
 
-# Experiment knob: disable the per-row AABB gates (used by the traversal
-# microbenchmark to isolate gate overhead; always True in production).
-_ROW_GATES = True
+# Per-row AABB gates.  Measured SLOWER than unconditionally testing every
+# row (same 400k-tri waves: gates cost a scalar reduction + lax.cond per
+# row, which Mosaic compiles to real branches that outweigh the ~50-op row
+# tests they skip).  Kept as a knob for future hardware where branches are
+# cheaper; the per-row AABBs stay in the meta layout either way.
+_ROW_GATES = False
 
 # Keys >= this are "miss" sentinels (chunk can't be hit by this block).
 _MISS = np.float32(1e38)
@@ -196,7 +202,8 @@ def _block_cull_compact(o, d, t_ub_lane, meta, n_chunks):
 
 
 def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
-                        anyhit: bool, stream: bool, emit_bound: bool = False):
+                        anyhit: bool, stream: bool, emit_bound: bool = False,
+                        has_row_meta: bool = True):
     """Kernel factory.  Refs:
       ids (SMEM (1, Cpad)), keys (SMEM (1, Cpad)), meta (VMEM), table
       (ANY=HBM when stream else VMEM), ray blocks... [+ excl_ent, t seeds],
@@ -209,8 +216,9 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
     done test."""
     R = rows_per_chunk
     C = n_chunks
-    # per-row AABBs present in meta (and gating enabled)
-    row_cull = rows_per_chunk <= 15 and _ROW_GATES
+    # per-row AABBs present in meta (and gating enabled); sphere tables
+    # don't carry them (has_row_meta=False)
+    row_cull = rows_per_chunk <= 15 and _ROW_GATES and has_row_meta
 
     def kernel(ids_ref, keys_ref, meta_ref, tab_ref, ox, oy, oz, dx, dy, dz,
                excl, *rest):
@@ -409,7 +417,7 @@ PHASE1_K = 64
 
 def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
                    rows_per_chunk, row_test, anyhit, stream, excl_ent=None,
-                   interpret=False, two_phase=None):
+                   interpret=False, two_phase=None, has_row_meta=True):
     """Shared launch: coherence sort, pad, block cull + order, pallas_call,
     unsort.  t_seed is t_init (closest) or t_max (anyhit).
 
@@ -456,7 +464,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
 
     perm = None
     if N >= _SORT_MIN_N:
-        perm = _coherence_perm(o, d, lo, hi)
+        perm = _coherence_perm(o, d, lo, hi, octant_major=True)
         cols = [o, d, excl_idx.astype(jnp.float32)[:, None], t_seed[:, None]]
         if anyhit:
             cols.append(excl_ent.astype(jnp.float32)[:, None])
@@ -517,7 +525,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
             ]
 
         kernel = _make_sorted_kernel(n_c, rows_per_chunk, row_test, anyhit,
-                                     stream, emit_bound)
+                                     stream, emit_bound, has_row_meta)
         fshape = jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.float32)
         ishape = jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.int32)
         if anyhit:
@@ -665,4 +673,37 @@ def occludes_sorted(ct, n_chunks, o, d, excl_idx, excl_ent, t_max,
         ct.chunk_meta, ct.tris, o, d, excl_idx, t_max, n_chunks,
         rows_per_chunk, _tri_row_test, anyhit=True, stream=stream,
         excl_ent=excl_ent, interpret=interpret,
+    )
+
+
+# Rows per chunk for the sorted SPHERE kernels: 2 rows = 32 sphere slots,
+# fine enough that the block cull + front-to-back early exit see real
+# chunks even on the 500-sphere stress scene (32 rows total).
+SPH_ROWS_PER_CHUNK_SORTED = 2
+
+
+def closest_hit_spheres_sorted(cs, n_chunks, o, d, excl_idx, t_init,
+                               rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
+                               interpret=False):
+    """Closest sphere hit via the sorted chunk walk (same machinery as the
+    triangle kernels: conservative block cull, front-to-back order, early
+    exit, root-AABB lane cull) over pack_spheres_chunked tables.  Replaces
+    the linear all-chunks scan (closest_hit_spheres): on the stress-500
+    scene the linear kernel brute-forces every sphere for every lane.
+    Sphere tables are tiny -- always VMEM-resident."""
+    return _launch_sorted(
+        cs.chunk_meta, cs.tris, o, d, excl_idx, t_init, n_chunks,
+        rows_per_chunk, _sphere_row_test, anyhit=False, stream=False,
+        interpret=interpret, has_row_meta=False,
+    )
+
+
+def occludes_spheres_sorted(cs, n_chunks, o, d, excl_idx, excl_ent, t_max,
+                            rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
+                            interpret=False):
+    """Any-hit sphere occlusion via the sorted chunk walk."""
+    return _launch_sorted(
+        cs.chunk_meta, cs.tris, o, d, excl_idx, t_max, n_chunks,
+        rows_per_chunk, _sphere_row_test, anyhit=True, stream=False,
+        excl_ent=excl_ent, interpret=interpret, has_row_meta=False,
     )

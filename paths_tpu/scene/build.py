@@ -252,13 +252,18 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         big = (sphr > 1e3) | (np.abs(sphc).max(axis=1) > 1e3)
         if (_on_accel() or _force_pallas()) and int((~big).sum()) > 32:
             from paths_tpu.ops import pallas_traverse as PT
+            from paths_tpu.ops import sorted_traverse as STV
 
             order = np.concatenate([np.nonzero(big)[0], np.nonzero(~big)[0]])
             sphc, sphr, sphe = sphc[order], sphr[order], sphe[order]
             n_sph_big = int(big.sum())
+            # Fine chunks (2 rows = 32 slots) for the sorted sphere walk:
+            # block cull + front-to-back early exit need several chunks to
+            # bite even at stress-scene sphere counts.
             psph, pallas_sph_chunks, sorder = PT.pack_spheres_chunked(
                 sphc[n_sph_big:], sphr[n_sph_big:], ent=sphe[n_sph_big:],
                 gid0=n_sph_big,
+                rows_per_chunk=STV.SPH_ROWS_PER_CHUNK_SORTED,
             )
             # Apply the kernel's morton sort to the scene arrays so packed
             # gids index them directly.
