@@ -144,6 +144,7 @@ def main(argv=None):
             static, scene, cam, width, height,
             spp=args.spp, seed=args.seed, tile_pixels=args.tile, progress=True,
             est=est, start_sample=start_sample, on_batch=on_batch,
+            mesh=mesh,
         )
     elapsed = time.time() - t0
     rays = width * height * args.spp

@@ -218,9 +218,20 @@ def pack_chunked(flat, v0, v1, v2, n, ent=None,
     n_chunks = -(-R // rows_per_chunk)
     rpad = n_chunks * rows_per_chunk
 
+    # Pad the table itself to n_chunks * rows_per_chunk rows so every
+    # chunk's full row range [c*rows, (c+1)*rows) is in-bounds: the sorted
+    # kernels read/DMA whole chunks unconditionally (sorted_traverse.py),
+    # so an 8-row tris_pad alone would let the last chunk read past the
+    # table.  Pad rows use the canonical empty fill (gid = -1, inv_area = 0)
+    # so their slots can never hit and the live-mask below excludes them
+    # from row AABBs.
+    if rpad > R:
+        empty = np.zeros((rpad - R, 128), np.float32)
+        empty[:, 12::TRI_STRIDE] = -1.0
+        tris = np.concatenate([tris, empty])
+
     # Per-row AABBs over live slots, vectorised.
-    tp = np.concatenate([tris, np.zeros((rpad - R, 128), np.float32)])
-    slots = tp.reshape(rpad, PACK_LEAF, TRI_STRIDE)
+    slots = tris.reshape(rpad, PACK_LEAF, TRI_STRIDE)
     pts = slots[:, :, 0:9].reshape(rpad, PACK_LEAF, 3, 3)
     live = (slots[:, :, 12] >= 0)[:, :, None, None]
     row_lo = np.where(live, pts, BIG).min(axis=(1, 2))   # (rpad, 3)
@@ -420,7 +431,13 @@ def pack_spheres_chunked(centers, radii, ent=None, gid0: int = 0,
     c, r, ent = c[order], r[order], ent[order]
 
     R = -(-S // SPH_PER_ROW)
-    rows = np.zeros((max(R, 1), 128), np.float32)
+    n_chunks = -(-R // rows_per_chunk)
+    # The sorted sphere kernel tests every row of a chunk (no per-row meta
+    # count), so pad the table to n_chunks * rows_per_chunk rows with the
+    # canonical empty fill (r^2 = -1, gid = -1) -- all-zero pad rows would
+    # act as phantom r=0 spheres at the origin.
+    rpad = n_chunks * rows_per_chunk
+    rows = np.zeros((max(rpad, 1), 128), np.float32)
     rows[:, 3::SPH_STRIDE] = -1.0  # r^2 = -1 in empty slots
     rows[:, 4::SPH_STRIDE] = -1.0
     for i in range(S):
@@ -431,7 +448,6 @@ def pack_spheres_chunked(centers, radii, ent=None, gid0: int = 0,
         rows[row, s + 4] = gid0 + i
         rows[row, s + 5] = ent[i]
 
-    n_chunks = -(-R // rows_per_chunk)
     meta = np.zeros((n_chunks, 128), np.float32)
     for k in range(n_chunks):
         i0 = k * rows_per_chunk * SPH_PER_ROW

@@ -407,11 +407,9 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
     return kernel
 
 
-# Two-phase (straggler-compacted) closest-hit engages above this chunk
-# count; below it one full front-to-back walk is cheaper than two launches.
-_TWO_PHASE_MIN_CHUNKS = 512
-# Phase-1 walk length: candidate chunks visited before stragglers are
-# re-blocked.  Front-to-back, ~all hitting lanes finish within this many.
+# Phase-1 walk length of the opt-in two-phase walk: candidate chunks
+# visited before stragglers are re-blocked.  Front-to-back, ~all hitting
+# lanes finish within this many.
 PHASE1_K = 64
 
 
@@ -457,8 +455,16 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
     inv_d = 1.0 / d
     rt0 = (lo_e[None, :] - o) * inv_d
     rt1 = (hi_e[None, :] - o) * inv_d
-    rtmin = jnp.max(jnp.minimum(rt0, rt1), axis=1)
-    rtmax = jnp.min(jnp.maximum(rt0, rt1), axis=1)
+    rtn = jnp.minimum(rt0, rt1)
+    rtx = jnp.maximum(rt0, rt1)
+    # 0 * inf = NaN when an origin component sits exactly on an enlarged
+    # slab plane with d == 0 on that axis; a NaN here would mark a LIVE
+    # lane dead (whole-mesh miss).  Treat such axes as unbounded --
+    # conservative, matching the cull's intent.
+    rtn = jnp.where(jnp.isnan(rtn), -BIG, rtn)
+    rtx = jnp.where(jnp.isnan(rtx), BIG, rtx)
+    rtmin = jnp.max(rtn, axis=1)
+    rtmax = jnp.min(rtx, axis=1)
     root_hit = (rtmin < rtmax) & (rtmax > 0.0) & (rtmin < t_seed)
     o = jnp.where(root_hit[:, None], o, 1e30)
 
@@ -655,8 +661,8 @@ def closest_hit_sorted(ct, n_chunks, o, d, excl_idx, t_init,
     Same contract as pallas_traverse.closest_hit_chunked: (t, idx, ent),
     t == BIG where nothing beat t_init.  stream=True keeps the triangle
     table in HBM (DMA'd per chunk); stream=False requires it VMEM-resident.
-    two_phase: force the straggler-compacted two-phase walk on/off (default:
-    on above _TWO_PHASE_MIN_CHUNKS)."""
+    two_phase: opt IN to the straggler-compacted two-phase walk (measured
+    slower than the single walk on this chip; off by default)."""
     return _launch_sorted(
         ct.chunk_meta, ct.tris, o, d, excl_idx, t_init, n_chunks,
         rows_per_chunk, _tri_row_test, anyhit=False, stream=stream,
