@@ -15,9 +15,11 @@ Timing notes (hard-won on the tunneled TPU this runs on):
   - the reported value is the MEDIAN of the reps, since individual fetches
     occasionally hiccup.
 
-vs_baseline compares against the ESTIMATED reference CPU anchor in
-BASELINE.md (the Rust reference cannot be built here -- no cargo in the
-image), currently 2.0e6 samples/s for a 4-thread CPU run.
+vs_baseline compares against the MEASURED per-scene CPU anchor: the
+reference's algorithm reimplemented in C++ (paths_tpu/native/cpu_tracer.cc,
+the Rust toolchain is unobtainable here -- no cargo, no network) run with
+the reference's 4 worker threads (main.rs:87) on THIS host, timed by
+benchmarks/bench_anchor.py (720x480 @ 4spp, 2026-08-20).  See BASELINE.md.
 """
 
 from __future__ import annotations
@@ -27,7 +29,17 @@ import statistics
 import sys
 import time
 
-BASELINE_RAYS_PER_SEC = 2.0e6  # estimated CPU anchor, see BASELINE.md
+# Measured anchors (pixel-samples/s), benchmarks/bench_anchor.py output.
+ANCHOR_RAYS_PER_SEC = {
+    "spheres_on_plane": 2.757e6,
+    "bokeh_demo": 4.111e6,
+    "teapot": 8.044e5,
+    "bunny": 9.790e5,
+    "doom_standin": 4.361e5,
+    "dragon_standin": 2.818e5,
+    "stress500": 1.219e6,
+}
+BASELINE_RAYS_PER_SEC = ANCHOR_RAYS_PER_SEC["spheres_on_plane"]
 
 
 def bench_scene(scene_path: str, spp: int, tile: int = 345600, reps: int = 5):
@@ -94,17 +106,18 @@ def main():
         # best-effort so a tier failure can't take down the headline.
         repo = os.path.dirname(os.path.abspath(__file__))
         tiers = {
-            "teapot_4spp": ("/root/reference/scenes/teapot.yml", 4),
+            "teapot_4spp": ("/root/reference/scenes/teapot.yml", 4, "teapot"),
             "dragon_standin_4spp": (
-                os.path.join(repo, "scenes/dragon_standin.yml"), 4),
+                os.path.join(repo, "scenes/dragon_standin.yml"), 4,
+                "dragon_standin"),
         }
         scenes = {}
-        for name, (path, spp) in tiers.items():
+        for name, (path, spp, anchor) in tiers.items():
             try:
                 rps = bench_scene(path, spp=spp, reps=3)
                 scenes[name] = {
                     "rays_per_sec": round(rps, 1),
-                    "vs_baseline": round(rps / BASELINE_RAYS_PER_SEC, 3),
+                    "vs_baseline": round(rps / ANCHOR_RAYS_PER_SEC[anchor], 3),
                 }
             except Exception as e:
                 scenes[name] = {"error": f"{type(e).__name__}: {e}"[:120]}

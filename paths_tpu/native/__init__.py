@@ -35,16 +35,18 @@ def _load() -> ctypes.CDLL | None:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-s"],
-                    cwd=_DIR,
-                    check=True,
-                    capture_output=True,
-                    timeout=300,
-                )
-            except (subprocess.SubprocessError, OSError):
+        # Always invoke make: a no-op when the library is current, a
+        # rebuild when any .cc is newer than the cached .so.
+        try:
+            subprocess.run(
+                ["make", "-s"],
+                cwd=_DIR,
+                check=True,
+                capture_output=True,
+                timeout=300,
+            )
+        except (subprocess.SubprocessError, OSError):
+            if not os.path.exists(_LIB_PATH):
                 _build_failed = True
                 return None
         try:
@@ -96,6 +98,20 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int64),  # order
             ctypes.POINTER(ctypes.c_int64),  # n_nodes out
             ctypes.POINTER(ctypes.c_int32),  # depth out
+        ]
+        dp = c.POINTER(c.c_double)
+        ip = c.POINTER(c.c_int32)
+        bp = c.POINTER(c.c_uint8)
+        fp = c.POINTER(c.c_float)
+        lib.paths_cpu_render.restype = c.c_int
+        lib.paths_cpu_render.argtypes = [
+            c.c_int, c.c_int, c.c_int, c.c_uint64, c.c_int, c.c_int, dp,
+            c.c_int, dp, dp, ip,                       # spheres
+            c.c_int, dp, dp, dp, dp, dp, dp, ip, bp,   # triangles
+            c.c_int, ip, dp, bp, dp, dp, dp, bp, dp,   # entities
+            c.c_int, ip, dp, dp, dp, dp, ip,           # lights
+            c.c_int, dp, dp, c.c_int, c.c_int, fp,     # sky
+            dp,                                        # out
         ]
         _lib = lib
         return _lib
@@ -235,3 +251,115 @@ def load_ply_native(path: str):
         return dict(vertices=verts, faces=faces, vertex_colours=cols)
     finally:
         lib.paths_ply_free(h)
+
+def cpu_render(static, arrays, cam, width: int, height: int, spp: int,
+               seed: int = 0, n_threads: int = 4, max_bounces: int = 10):
+    """Render via the native CPU tracer (cpu_tracer.cc) -- the measured
+    performance anchor and the independent oracle for cross-implementation
+    golden tests.  Takes the same (static, arrays, cam) triple build_scene
+    returns; converts device arrays to host f64.  Returns an (H, W, 3) f64
+    linear-radiance image, or None when the library is unavailable or the
+    scene uses materials the reference itself cannot BSDF-sample
+    (/root/reference/src/material.rs:81-88)."""
+    lib = _load()
+    if lib is None:
+        return None
+
+    c = ctypes
+    dp = c.POINTER(c.c_double)
+    ip = c.POINTER(c.c_int32)
+    bp = c.POINTER(c.c_uint8)
+    fp = c.POINTER(c.c_float)
+
+    def f64(a):
+        return np.ascontiguousarray(np.asarray(a), np.float64)
+
+    def i32(a):
+        return np.ascontiguousarray(np.asarray(a), np.int32)
+
+    def u8(a):
+        return np.ascontiguousarray(np.asarray(a), np.uint8)
+
+    # Camera: 17 doubles [loc3, rot9 row-major, f, v, aperture, sw, sh].
+    cam17 = np.concatenate([
+        f64(cam.location).ravel(), f64(cam.rot).ravel(),
+        [float(cam.focal_length), float(cam.distance_from_lens),
+         float(cam.aperture), float(cam.sensor_width),
+         float(cam.sensor_height)],
+    ]).astype(np.float64)
+
+    n_sph = int(static.n_spheres)
+    sph_c = f64(arrays.sph_center)[:n_sph] if n_sph else np.zeros((0, 3))
+    sph_r = f64(arrays.sph_radius)[:n_sph] if n_sph else np.zeros(0)
+    sph_e = i32(arrays.sph_ent)[:n_sph] if n_sph else np.zeros(0, np.int32)
+
+    n_tri = int(static.n_tris)
+    if n_tri:
+        v0 = f64(arrays.tri_v0)[:n_tri]
+        v1 = f64(arrays.tri_v1)[:n_tri]
+        v2 = f64(arrays.tri_v2)[:n_tri]
+        fn_ = f64(arrays.tri_n)[:n_tri]
+        vn = np.concatenate(
+            [f64(arrays.tri_vn0)[:n_tri], f64(arrays.tri_vn1)[:n_tri],
+             f64(arrays.tri_vn2)[:n_tri]], axis=1)
+        vc = np.concatenate(
+            [f64(arrays.tri_vc0)[:n_tri], f64(arrays.tri_vc1)[:n_tri],
+             f64(arrays.tri_vc2)[:n_tri]], axis=1)
+        te = i32(arrays.tri_ent)[:n_tri]
+        ts = u8(arrays.tri_smooth)[:n_tri]
+    else:
+        v0 = v1 = v2 = fn_ = np.zeros((0, 3))
+        vn = vc = np.zeros((0, 9))
+        te = np.zeros(0, np.int32)
+        ts = np.zeros(0, np.uint8)
+
+    mtype = i32(arrays.mat_mtype)
+    n_ent = len(mtype)
+    albedo = f64(arrays.mat_albedo)
+    alb_v = u8(arrays.mat_albedo_vertex)
+    emit = f64(arrays.mat_emit)
+    r0 = f64(arrays.mat_r0)
+    metal = f64(arrays.mat_metalness)
+    is_light = u8(arrays.ent_is_light)
+    emission = f64(arrays.ent_light_emission)
+
+    n_lights = int(static.n_lights)
+    ltype = i32(arrays.light_ltype)[:n_lights]
+    lpos = f64(arrays.light_pos)[:n_lights]
+    lrad = f64(arrays.light_radius)[:n_lights]
+    lcol = f64(arrays.light_colour)[:n_lights]
+    lint = f64(arrays.light_intensity)[:n_lights]
+    lent = i32(arrays.light_ent)[:n_lights]
+
+    sky_type = int(static.sky_type)
+    sky_a = f64(arrays.sky.colour_a).ravel()
+    sky_b = f64(arrays.sky.colour_b).ravel()
+    sky_a = np.resize(sky_a, 3)
+    sky_b = np.resize(sky_b, 3)
+    img = np.ascontiguousarray(np.asarray(arrays.sky.image), np.float32)
+    sky_h, sky_w = img.shape[0], img.shape[1]
+
+    out = np.zeros((height, width, 3), np.float64)
+    rc = lib.paths_cpu_render(
+        width, height, spp, seed, n_threads, max_bounces,
+        cam17.ctypes.data_as(dp),
+        n_sph, sph_c.ctypes.data_as(dp), sph_r.ctypes.data_as(dp),
+        sph_e.ctypes.data_as(ip),
+        n_tri, v0.ctypes.data_as(dp), v1.ctypes.data_as(dp),
+        v2.ctypes.data_as(dp), fn_.ctypes.data_as(dp),
+        vn.ctypes.data_as(dp), vc.ctypes.data_as(dp),
+        te.ctypes.data_as(ip), ts.ctypes.data_as(bp),
+        n_ent, mtype.ctypes.data_as(ip), albedo.ctypes.data_as(dp),
+        alb_v.ctypes.data_as(bp), emit.ctypes.data_as(dp),
+        r0.ctypes.data_as(dp), metal.ctypes.data_as(dp),
+        is_light.ctypes.data_as(bp), emission.ctypes.data_as(dp),
+        n_lights, ltype.ctypes.data_as(ip), lpos.ctypes.data_as(dp),
+        lrad.ctypes.data_as(dp), lcol.ctypes.data_as(dp),
+        lint.ctypes.data_as(dp), lent.ctypes.data_as(ip),
+        sky_type, sky_a.ctypes.data_as(dp), sky_b.ctypes.data_as(dp),
+        sky_w, sky_h, img.ctypes.data_as(fp),
+        out.ctypes.data_as(dp),
+    )
+    if rc != 0:
+        return None
+    return out
