@@ -126,16 +126,22 @@ def main():
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=0)
-    def stats(gsize):
-        hit = group_keys(o_s, d_s, t_ub, ct.chunk_meta, C, gsize)
-        cand = hit.sum(axis=1)
-        return cand.mean(), jnp.percentile(cand, 95), cand.max()
+    @partial(jax.jit, static_argnums=(0,), donate_argnums=())
+    def stats_batch(gsize, o_b, d_b, t_b):
+        hit = group_keys(o_b, d_b, t_b, ct.chunk_meta, C, gsize)
+        return hit.sum(axis=1)
 
+    # Batch over lane slices so the (groups, C) intermediates stay small.
+    BATCH = 32 * 1024
     for g in (1024, 128, 16, 1):
-        m, p95, mx = (float(x) for x in stats(g))
-        print(f"  group={g:5d}: mean={m:8.1f}  p95={p95:8.0f}  max={mx:6.0f}"
-              f"   ({100*m/C:.1f}% of chunks)")
+        counts = []
+        for s in range(0, N, BATCH):
+            counts.append(np.asarray(stats_batch(
+                g, o_s[s:s + BATCH], d_s[s:s + BATCH], t_ub[s:s + BATCH])))
+        cand = np.concatenate(counts)
+        print(f"  group={g:5d}: mean={cand.mean():8.1f}  "
+              f"p95={np.percentile(cand, 95):8.0f}  max={cand.max():6.0f}"
+              f"   ({100*cand.mean()/C:.1f}% of chunks)")
 
 
 if __name__ == "__main__":

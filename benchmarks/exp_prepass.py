@@ -34,7 +34,7 @@ def timed(fn, reps=5):
 
 def main():
     T = int(sys.argv[1]) if len(sys.argv) > 1 else 200000
-    N = 345600
+    N = 337 * 1024  # multiple of BLOCK_N (the cull's reshape granularity)
 
     from paths_tpu.bvh.build import build_bvh
     from paths_tpu.ops import pallas_traverse as PT

@@ -27,6 +27,12 @@ def main(argv=None):
     ap.add_argument("--stress", type=int, default=500,
                     help="stress-scene sphere count when no scene given")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--native-cpu", action="store_true",
+                    help="render with the native C++ CPU tracer "
+                         "(multithreaded, reference-equivalent algorithm; "
+                         "no TPU/JAX in the hot path)")
+    ap.add_argument("--threads", type=int, default=4,
+                    help="worker threads for --native-cpu")
     ap.add_argument("--dp", default=None, metavar="N|all",
                     help="shard pixel lanes over N devices (or every visible "
                          "device with 'all'); scene stays replicated, "
@@ -131,6 +137,28 @@ def main(argv=None):
                 save_checkpoint(args.checkpoint, e, next_sample, args.seed)
                 last_saved[0] = next_sample
                 print(f"[ckpt] saved at sample {next_sample}")
+
+    if args.native_cpu:
+        from paths_tpu import native
+
+        if args.env_nee:
+            raise SystemExit("--env-nee is TPU-path only (not in --native-cpu)")
+        img = native.cpu_render(
+            static, scene, cam, width, height, args.spp, seed=args.seed,
+            n_threads=args.threads, max_bounces=args.max_bounces,
+        )
+        if img is None:
+            raise SystemExit(
+                "--native-cpu unavailable (library failed to build, or the "
+                "scene uses materials the reference cannot BSDF-sample)"
+            )
+        elapsed = time.time() - t0
+        rays = width * height * args.spp
+        print(f"[{elapsed:6.2f}s] native-cpu rendered {width}x{height} @ "
+              f"{args.spp}spp ({rays/elapsed/1e6:.2f} M pixel-samples/s)")
+        write_png(args.output, img)
+        print(f"wrote {args.output}")
+        return
 
     import contextlib
 

@@ -308,7 +308,13 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
             flat = build_bvh(tri_min, tri_max, leaf_size=PT.PACK_LEAF)
             cat = {k: v[flat.order] for k, v in cat.items()}
             if want_pallas:
-                pallas_tri_rows = STV.ROWS_PER_CHUNK_SORTED
+                import os as _os
+
+                # Experiment knob: chunk size in rows (default measured-best
+                # ROWS_PER_CHUNK_SORTED; benchmarks sweep it via env).
+                pallas_tri_rows = int(
+                    _os.environ.get("PATHS_TPU_ROWS_PER_CHUNK", 0)
+                ) or STV.ROWS_PER_CHUNK_SORTED
                 ptris, pallas_tri_chunks = PT.pack_chunked(
                     flat, cat["v0"], cat["v1"], cat["v2"], cat["n"],
                     ent=cat["ent"], rows_per_chunk=pallas_tri_rows,

@@ -61,3 +61,17 @@ def test_cli_dp_matches_single_device(tmp_path, capture_render):
     np.testing.assert_array_equal(
         np.asarray(Image.open(out1)), np.asarray(Image.open(out2))
     )
+
+
+def test_cli_native_cpu_backend(tmp_path):
+    """--native-cpu renders through the C++ tracer end-to-end."""
+    from paths_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    out = tmp_path / "native.png"
+    CLI.main([
+        "--cpu", "--native-cpu", "--stress", "8", "--spp", "2",
+        "--size", "32x8", "-o", str(out),
+    ])
+    assert os.path.exists(out)

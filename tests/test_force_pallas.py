@@ -65,9 +65,17 @@ def _render(sd, force: bool, stream: bool = False):
             os.environ["PATHS_TPU_FORCE_PALLAS"] = old
 
 
-def test_forced_pallas_matches_fallback(tmp_path):
-    sd = _mixed_scene(tmp_path)
-    ref = _render(sd, force=False)
+@pytest.fixture(scope="module")
+def fallback_render(tmp_path_factory):
+    """The XLA-fallback reference render, computed once for the module (it
+    is identical across the resident/streaming parity tests and costs a
+    full integrator compile)."""
+    sd = _mixed_scene(tmp_path_factory.mktemp("mixed"))
+    return sd, _render(sd, force=False)
+
+
+def test_forced_pallas_matches_fallback(fallback_render):
+    sd, ref = fallback_render
     pal = _render(sd, force=True)
     assert np.isfinite(pal).all()
     # Same RNG decisions, same physics; differences are f32 order-of-ops
@@ -77,12 +85,11 @@ def test_forced_pallas_matches_fallback(tmp_path):
     assert frac > 0.995, f"only {frac:.4f} of samples match"
 
 
-def test_forced_pallas_streaming_matches_fallback(tmp_path):
+def test_forced_pallas_streaming_matches_fallback(fallback_render):
     """Integrator-level parity with stream=True forced: the DMA-ring
     streaming closest-hit + streaming occlusion + dead-lane pushes run
     through path_step (previously only covered at kernel level)."""
-    sd = _mixed_scene(tmp_path)
-    ref = _render(sd, force=False)
+    sd, ref = fallback_render
     pal = _render(sd, force=True, stream=True)
     assert np.isfinite(pal).all()
     close = np.isclose(pal, ref, rtol=1e-3, atol=1e-3)
