@@ -81,6 +81,17 @@ STREAM_NBUF = 4
 # cheaper; the per-row AABBs stay in the meta layout either way.
 _ROW_GATES = False
 
+
+def _chunk_cond_enabled() -> bool:
+    """Experiment knob: PATHS_TPU_NO_CHUNK_COND=1 drops the per-chunk
+    any-lane-hit lax.cond and tests every row of every visited chunk
+    unconditionally (same results -- the row test is t-gated per lane).
+    The cond's scalar reduce + branch is suspected to rival the row tests
+    it skips on v5e (cf. the _ROW_GATES measurement)."""
+    import os
+
+    return os.environ.get("PATHS_TPU_NO_CHUNK_COND", "") in ("", "0")
+
 # Keys >= this are "miss" sentinels (chunk can't be hit by this block).
 _MISS = np.float32(1e38)
 # Integrator's dead-lane origin push is 1e30; anything past this is dead.
@@ -219,6 +230,7 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
     # per-row AABBs present in meta (and gating enabled); sphere tables
     # don't carry them (has_row_meta=False)
     row_cull = rows_per_chunk <= 15 and _ROW_GATES and has_row_meta
+    chunk_cond = _chunk_cond_enabled()
 
     def kernel(ids_ref, keys_ref, meta_ref, tab_ref, ox, oy, oz, dx, dy, dz,
                excl, *rest):
@@ -325,7 +337,7 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                 tmin = jnp.maximum(tmin, jnp.minimum(t0_, t1_))
                 tmax = jnp.minimum(tmax, jnp.maximum(t0_, t1_))
             lane_hit = (tmin < tmax) & (tmin < tb) & (tmax > 0.0)
-            any_hit = jnp.any(lane_hit)
+            any_hit = jnp.any(lane_hit) if chunk_cond else None
 
             def row_gate(r, tb):
                 """Per-ROW AABB gate (meta cols 8+8r..): the sub-hierarchy
@@ -359,7 +371,8 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                             g, test, lambda tb: tb, tb)
                     return tb
 
-                tb = lax.cond(any_hit, proc, lambda tb: tb, tb)
+                tb = (lax.cond(any_hit, proc, lambda tb: tb, tb)
+                      if chunk_cond else proc(tb))
                 return (k + 1, key1, tb)
             else:
                 ib, eb = carry[3], carry[4]
@@ -375,8 +388,10 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                             g, test, lambda tb, ib, eb: (tb, ib, eb), tb, ib, eb)
                     return tb, ib, eb
 
-                tb, ib, eb = lax.cond(
-                    any_hit, proc, lambda tb, ib, eb: (tb, ib, eb), tb, ib, eb
+                tb, ib, eb = (
+                    lax.cond(any_hit, proc,
+                             lambda tb, ib, eb: (tb, ib, eb), tb, ib, eb)
+                    if chunk_cond else proc(tb, ib, eb)
                 )
                 return (k + 1, key1, tb, ib, eb)
 
