@@ -200,6 +200,71 @@ class ChunkedTris(NamedTuple):
     chunk_meta: jnp.ndarray  # (C, 128) f32: [aabb min xyz, max xyz, row0, nrows]
 
 
+def _pack_tri_rows_plane(flat, v0, v1, v2, n, ent, centers,
+                         rows_per_chunk, rpad) -> np.ndarray:
+    """Plane-form slot layout (v2) for the chunked kernels, built in f64:
+
+      [0:3] n   [3] dd = n.(v0-c)   [4:7] g1  [7] c1   [8:11] g2  [11] c2
+      [12] gid  [13] 0   [14] ent   [15] 0
+
+    where bx = c1 + g1.p' + 0, by = c2 + g2.p', bz = 1-bx-by are the
+    barycentric coordinates of the CHUNK-RECENTRED hit point p' = (o-c) + t d
+    (c = the chunk's AABB center, passed per chunk in `centers`), derived
+    from the identity cross(v1-p, v2-p).n = n.(v1 x v2) + p.((v1-v2) x n).
+    Recentring keeps |c1|, |p'.g1| ~ O(chunk extent / tri extent) so the f32
+    cancellation error stays local no matter where the mesh sits in world
+    space.  Empty and degenerate slots get c1 = c2 = -BIG: bx = -BIG fails
+    bx >= 0 for every ray, which subsumes the vertex layout's gid >= 0 and
+    inv_area != 0 guards.
+
+    Replaces per-ray cross products with two precomputed affine forms: the
+    kernel's per-slot cost falls from ~67 vector ops + 14 broadcasts to
+    ~49 ops + 12 broadcasts -- and the broadcasts are the measured
+    bottleneck of the row test (see sorted_traverse design notes)."""
+    v0 = np.asarray(v0, np.float64)
+    v1 = np.asarray(v1, np.float64)
+    v2 = np.asarray(v2, np.float64)
+    n = np.asarray(n, np.float64)
+    T = len(v0)
+    if ent is None:
+        ent = np.zeros(T, np.int64)
+    ent = np.asarray(ent)
+    is_leaf = flat.prim_count > 0
+    leaf_start = flat.prim_start[is_leaf]
+    g = np.arange(T)
+    row = np.searchsorted(leaf_start, g, side="right") - 1
+    slot = g - leaf_start[row]
+    c = np.asarray(centers, np.float64)[row // rows_per_chunk]  # (T, 3)
+
+    area = np.einsum("ij,ij->i", n, np.cross(v1 - v0, v2 - v0))
+    inv_area = np.where(area != 0.0, 1.0 / np.where(area == 0.0, 1.0, area), 0.0)
+    v0c, v1c, v2c = v0 - c, v1 - c, v2 - c
+    dd = np.einsum("ij,ij->i", n, v0c)
+    g1 = np.cross(v1 - v2, n) * inv_area[:, None]
+    c1 = np.einsum("ij,ij->i", n, np.cross(v1c, v2c)) * inv_area
+    g2 = np.cross(v2 - v0, n) * inv_area[:, None]
+    c2 = np.einsum("ij,ij->i", n, np.cross(v2c, v0c)) * inv_area
+    bad = area == 0.0
+    c1 = np.where(bad, -np.float64(BIG), c1)
+    c2 = np.where(bad, -np.float64(BIG), c2)
+
+    rows = np.zeros((max(rpad, 1), 128), np.float32)
+    rows[:, 7::TRI_STRIDE] = -BIG   # c1 in empty slots
+    rows[:, 11::TRI_STRIDE] = -BIG  # c2
+    rows[:, 12::TRI_STRIDE] = -1.0  # gid
+    base = slot * TRI_STRIDE
+    for j in range(3):
+        rows[row, base + j] = n[:, j]
+        rows[row, base + 4 + j] = g1[:, j]
+        rows[row, base + 8 + j] = g2[:, j]
+    rows[row, base + 3] = dd
+    rows[row, base + 7] = c1
+    rows[row, base + 11] = c2
+    rows[row, base + 12] = g
+    rows[row, base + 14] = ent
+    return rows
+
+
 def pack_chunked(flat, v0, v1, v2, n, ent=None,
                  rows_per_chunk: int = ROWS_PER_CHUNK):
     """Chunked layout for closest_hit_chunked / the sorted kernels: the
@@ -251,8 +316,17 @@ def pack_chunked(flat, v0, v1, v2, n, ent=None,
             axis=2,
         )  # (C, rows, 8)
         meta[:, 8 : 8 + 8 * rows_per_chunk] = rowmeta.reshape(n_chunks, -1)
+
+    # Chunk centers for the recentred plane layout: exactly the midpoint the
+    # kernel recomputes from meta cols 0:6 in f32, so pack-time and run-time
+    # shifts agree bit-for-bit.  Empty chunks (no live rows) center at 0.
+    valid = (meta[:, 7] > 0) & (meta[:, 0] <= meta[:, 3])
+    centers = np.where(valid[:, None],
+                       0.5 * (meta[:, 0:3] + meta[:, 3:6]), 0.0)
+    tris_v2 = _pack_tri_rows_plane(flat, v0, v1, v2, n, ent,
+                                   centers, rows_per_chunk, rpad)
     return ChunkedTris(
-        tris=jnp.asarray(tris_pad(tris)),
+        tris=jnp.asarray(tris_pad(tris_v2)),
         chunk_meta=jnp.asarray(tris_pad(meta)),
     ), n_chunks
 
@@ -267,8 +341,10 @@ def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best,
     subsequent slab test (tmin < 0 only when the origin sits inside a box),
     so finished lanes stop pulling chunks in.  excl_ent skips hits on a
     per-lane excluded entity (the light being sampled)."""
+    blk = o[0].shape
+
     def bcast(j):
-        return jnp.broadcast_to(tr[0, j], BLOCK)
+        return jnp.broadcast_to(tr[0, j], blk)
 
     for k in range(PACK_LEAF):
         c = k * TRI_STRIDE
@@ -326,6 +402,68 @@ def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best,
     return t_best, i_best, e_best
 
 
+def _tri_row_test_v2(tr, o, d, excl_i, t_best, i_best, e_best,
+                     excl_ent=None, any_hit=False):
+    """Plane-form row test over _pack_tri_rows_plane slots.  `o` MUST be the
+    ray origin pre-shifted by the chunk center the row was packed against
+    (the caller computes osh = o - 0.5*(meta lo + hi) once per chunk).
+
+    12 broadcast fields per slot (vs 16) and ~49 vector ops (vs ~67): the
+    t-test uses the precomputed plane (n, dd), the barycentrics are affine
+    forms bx = c1 + g1.p, by = c2 + g2.p evaluated without materializing p
+    (bx = c1 + g1.o + t * g1.d).  No cos/gid/inv_area guards needed: a
+    parallel ray yields t = +-inf/NaN which fails t >= 0 or t < t_best, and
+    empty/degenerate slots carry c1 = -BIG so bx >= 0 fails for every
+    lane."""
+    blk = o[0].shape
+
+    def bcast(j):
+        return jnp.broadcast_to(tr[0, j], blk)
+
+    for k in range(PACK_LEAF):
+        s = k * TRI_STRIDE
+        nrm = [bcast(s + j) for j in range(3)]
+        dd_ = bcast(s + 3)
+        g1 = [bcast(s + 4 + j) for j in range(3)]
+        c1 = bcast(s + 7)
+        g2 = [bcast(s + 8 + j) for j in range(3)]
+        c2 = bcast(s + 11)
+        gid = tr[0, s + 12].astype(jnp.int32)
+        ent = tr[0, s + 14].astype(jnp.int32)
+
+        cos = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
+        n_o = nrm[0] * o[0] + nrm[1] * o[1] + nrm[2] * o[2]
+        t = (dd_ - n_o) / cos
+        bx = c1 + (g1[0] * o[0] + g1[1] * o[1] + g1[2] * o[2]) \
+            + t * (g1[0] * d[0] + g1[1] * d[1] + g1[2] * d[2])
+        by = c2 + (g2[0] * o[0] + g2[1] * o[1] + g2[2] * o[2]) \
+            + t * (g2[0] * d[0] + g2[1] * d[1] + g2[2] * d[2])
+        bz = 1.0 - bx - by
+
+        ok = (
+            (t >= 0.0)
+            & (t < t_best)
+            & (bx >= 0.0)
+            & (by >= 0.0)
+            & (bz >= 0.0)
+            & (gid != excl_i)
+        )
+        if excl_ent is not None:
+            ok = ok & (ent != excl_ent)
+        if any_hit:
+            t = jnp.zeros_like(t)
+        t_best = jnp.where(ok, t, t_best)
+        i_best = jnp.where(ok, gid, i_best)
+        e_best = jnp.where(ok, ent, e_best)
+    return t_best, i_best, e_best
+
+
+def _chunk_shift(bc, o):
+    """Per-chunk recentred origin for the plane-form row test: the midpoint
+    of the chunk AABB (meta cols 0:6), matching pack-time bit-for-bit."""
+    return tuple(o[ax] - 0.5 * (bc(ax) + bc(3 + ax)) for ax in range(3))
+
+
 def _make_chunked_kernel(n_chunks: int):
     def kernel(meta_ref, tris_ref, ox, oy, oz, dx, dy, dz, excl, tinit,
                tout, iout, eout):
@@ -353,11 +491,13 @@ def _make_chunked_kernel(n_chunks: int):
             r0 = meta_ref[c, 6].astype(jnp.int32)
             nr = meta_ref[c, 7].astype(jnp.int32)
 
+            osh = _chunk_shift(bc, o)
+
             def do_chunk(tb, ib, eb):
                 def row_body(r, carry):
                     tb, ib, eb = carry
                     tr = tris_ref[pl.ds(r, 1), :]
-                    return _tri_row_test(tr, o, d, excl_i, tb, ib, eb)
+                    return _tri_row_test_v2(tr, osh, d, excl_i, tb, ib, eb)
 
                 return lax.fori_loop(r0, r0 + nr, row_body, (tb, ib, eb))
 
@@ -471,8 +611,10 @@ def _sphere_row_test(sr, o, d, excl_i, t_best, i_best, e_best,
     ray block.  Matches geom/sphere.py's semantics (geom.rs:208-235) in plain
     f32 -- callers must route large/far spheres to the double-single path.
     excl_ent / any_hit as in _tri_row_test."""
+    blk = o[0].shape
+
     def bcast(j):
-        return jnp.broadcast_to(sr[0, j], BLOCK)
+        return jnp.broadcast_to(sr[0, j], blk)
 
     for k in range(SPH_PER_ROW):
         s = k * SPH_STRIDE
@@ -553,7 +695,7 @@ def _make_chunked_sphere_kernel(n_chunks: int):
     return kernel
 
 
-def _make_anyhit_kernel(n_chunks: int, row_test):
+def _make_anyhit_kernel(n_chunks: int, row_test, plane_rows=False):
     """Occlusion-query variant of the chunked kernels (row_test is
     _tri_row_test or _sphere_row_test).  Carry is t_best alone, seeded with
     the per-lane max distance (the light sample's analytic hit distance);
@@ -586,12 +728,13 @@ def _make_anyhit_kernel(n_chunks: int, row_test):
 
             r0 = meta_ref[c, 6].astype(jnp.int32)
             nr = meta_ref[c, 7].astype(jnp.int32)
+            o_r = _chunk_shift(bc, o) if plane_rows else o
 
             def do_chunk(tb):
                 def row_body(r, tb):
                     tr = tab_ref[pl.ds(r, 1), :]
                     tb, _, _ = row_test(
-                        tr, o, d, excl_i, tb, i_d, i_d,
+                        tr, o_r, d, excl_i, tb, i_d, i_d,
                         excl_ent=excl_e, any_hit=True,
                     )
                     return tb
@@ -673,7 +816,8 @@ def occludes_chunked(ct: ChunkedTris, n_chunks: int, o, d, excl_idx, excl_ent,
     closest_hit_chunked for shadow rays (trace.rs:61-66 only compares the
     occluder's entity id, so the closest hit is never needed)."""
     return _launch_anyhit(
-        _make_anyhit_kernel(n_chunks, _tri_row_test), ct.chunk_meta, ct.tris,
+        _make_anyhit_kernel(n_chunks, _tri_row_test_v2, plane_rows=True),
+        ct.chunk_meta, ct.tris,
         o, d, excl_idx, excl_ent, t_max, interpret,
         bounds=_meta_bounds(ct.chunk_meta),
     )

@@ -55,10 +55,11 @@ from paths_tpu.ops.pallas_traverse import (
     BLOCK,
     BLOCK_N,
     _SORT_MIN_N,
+    _chunk_shift,
     _coherence_perm,
     _meta_bounds,
     _sphere_row_test,
-    _tri_row_test,
+    _tri_row_test_v2,
 )
 
 # Rows per chunk for the sorted kernels.  15 rows = 120 triangles = one
@@ -98,14 +99,14 @@ _MISS = np.float32(1e38)
 _DEAD = np.float32(1e29)
 
 
-def _block_cull_keys(o, d, t_ub_lane, meta, n_chunks):
+def _block_cull_keys(o, d, t_ub_lane, meta, n_chunks, block_n=BLOCK_N):
     """Conservative per-(block, chunk) cull: raw entry-distance keys.
 
-    o, d: (grid*8, 128, 3)-reshapable (N, 3) lane arrays AFTER padding (N a
-    multiple of BLOCK_N).  t_ub_lane: (N,) per-lane upper bound on a useful
-    hit (t_init for closest-hit, t_max for occlusion).  meta: (Cpad, 128)
-    chunk rows.  Returns keys: (grid, n_chunks) f32 lower-bound entry
-    distances, _MISS where the block cannot usefully hit the chunk.
+    o, d: (grid*rows, 128, 3)-reshapable (N, 3) lane arrays AFTER padding (N
+    a multiple of block_n).  t_ub_lane: (N,) per-lane upper bound on a
+    useful hit (t_init for closest-hit, t_max for occlusion).  meta:
+    (Cpad, 128) chunk rows.  Returns keys: (grid, n_chunks) f32 lower-bound
+    entry distances, _MISS where the block cannot usefully hit the chunk.
 
     The slab test is evaluated in interval arithmetic over the block's live
     lanes: origins bound by a box, directions by a per-axis interval.  An
@@ -113,10 +114,10 @@ def _block_cull_keys(o, d, t_ub_lane, meta, n_chunks):
     conservative, never wrong.  Dead lanes (origin pushed past _DEAD by the
     integrator) are excluded from the bounds; an all-dead block culls every
     chunk."""
-    G = o.shape[0] // BLOCK_N
-    ob = o.reshape(G, BLOCK_N, 3)
-    db = d.reshape(G, BLOCK_N, 3)
-    tb = t_ub_lane.reshape(G, BLOCK_N)
+    G = o.shape[0] // block_n
+    ob = o.reshape(G, block_n, 3)
+    db = d.reshape(G, block_n, 3)
+    tb = t_ub_lane.reshape(G, block_n)
     alive = ob[..., 0] < _DEAD  # (G, B)
 
     am = alive[..., None]
@@ -177,25 +178,25 @@ def _block_cull_keys(o, d, t_ub_lane, meta, n_chunks):
     return jnp.where(hit, tmin, _MISS)
 
 
-def _block_cull_sort(o, d, t_ub_lane, meta, n_chunks):
+def _block_cull_sort(o, d, t_ub_lane, meta, n_chunks, block_n=BLOCK_N):
     """Cull + full front-to-back order: (ids, keys) with keys ascending
     (_MISS sentinels sort last, terminating the walk)."""
-    keys = _block_cull_keys(o, d, t_ub_lane, meta, n_chunks)
+    keys = _block_cull_keys(o, d, t_ub_lane, meta, n_chunks, block_n)
     order = jnp.argsort(keys, axis=1).astype(jnp.int32)
     skeys = jnp.take_along_axis(keys, order, axis=1)
     return order, skeys
 
 
-def _block_cull_topk(o, d, t_ub_lane, meta, n_chunks, k):
+def _block_cull_topk(o, d, t_ub_lane, meta, n_chunks, k, block_n=BLOCK_N):
     """Cull + the k nearest candidate chunks per block (ascending keys).
     top_k instead of a full argsort: phase 1 of the two-phase walk only
     needs the front of the order."""
-    keys = _block_cull_keys(o, d, t_ub_lane, meta, n_chunks)
+    keys = _block_cull_keys(o, d, t_ub_lane, meta, n_chunks, block_n)
     neg, idx = lax.top_k(-keys, k)
     return idx.astype(jnp.int32), -neg
 
 
-def _block_cull_compact(o, d, t_ub_lane, meta, n_chunks):
+def _block_cull_compact(o, d, t_ub_lane, meta, n_chunks, block_n=BLOCK_N):
     """Cull + candidates compacted to the front IN CHUNK-ID ORDER (no
     front-to-back sort).  Keys are 0 for candidates and _MISS past them, so
     the kernel's ordered-walk machinery degenerates to exactly the right
@@ -203,7 +204,7 @@ def _block_cull_compact(o, d, t_ub_lane, meta, n_chunks):
     straggler lanes rarely beat one anyway), stop at the first _MISS, and
     exit immediately when every lane is done (t_cap > 0 fails).  Id order
     keeps the streamed DMA reads near-sequential in HBM."""
-    keys = _block_cull_keys(o, d, t_ub_lane, meta, n_chunks)
+    keys = _block_cull_keys(o, d, t_ub_lane, meta, n_chunks, block_n)
     hit = keys < _MISS
     order = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
     skeys = jnp.where(
@@ -214,7 +215,8 @@ def _block_cull_compact(o, d, t_ub_lane, meta, n_chunks):
 
 def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                         anyhit: bool, stream: bool, emit_bound: bool = False,
-                        has_row_meta: bool = True):
+                        has_row_meta: bool = True, block_rows: int = BLOCK[0],
+                        plane_rows: bool = False):
     """Kernel factory.  Refs:
       ids (SMEM (1, Cpad)), keys (SMEM (1, Cpad)), meta (VMEM), table
       (ANY=HBM when stream else VMEM), ray blocks... [+ excl_ent, t seeds],
@@ -227,6 +229,7 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
     done test."""
     R = rows_per_chunk
     C = n_chunks
+    blk = (block_rows, BLOCK[1])
     # per-row AABBs present in meta (and gating enabled); sphere tables
     # don't carry them (has_row_meta=False)
     row_cull = rows_per_chunk <= 15 and _ROW_GATES and has_row_meta
@@ -298,7 +301,7 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
             for j in range(STREAM_NBUF - 1):
                 issue(jnp.int32(j))
 
-        zero_i = jnp.zeros(BLOCK, jnp.int32)
+        zero_i = jnp.zeros(blk, jnp.int32)
         if anyhit:
             carry0 = (jnp.int32(0), key0, t0)
         else:
@@ -327,10 +330,10 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
             row = meta_ref[pl.ds(c, 1), :]
 
             def bc(j):
-                return jnp.broadcast_to(row[0, j], BLOCK)
+                return jnp.broadcast_to(row[0, j], blk)
 
-            tmin = jnp.full(BLOCK, -BIG)
-            tmax = jnp.full(BLOCK, BIG)
+            tmin = jnp.full(blk, -BIG)
+            tmax = jnp.full(blk, BIG)
             for ax in range(3):
                 t0_ = (bc(ax) - o[ax]) * inv[ax]
                 t1_ = (bc(3 + ax) - o[ax]) * inv[ax]
@@ -338,6 +341,7 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                 tmax = jnp.minimum(tmax, jnp.maximum(t0_, t1_))
             lane_hit = (tmin < tmax) & (tmin < tb) & (tmax > 0.0)
             any_hit = jnp.any(lane_hit) if chunk_cond else None
+            o_r = _chunk_shift(bc, o) if plane_rows else o
 
             def row_gate(r, tb):
                 """Per-ROW AABB gate (meta cols 8+8r..): the sub-hierarchy
@@ -345,8 +349,8 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                 ~560-op 8-triangle row test."""
                 if not row_cull:
                     return None  # caller tests unconditionally
-                rtmin = jnp.full(BLOCK, -BIG)
-                rtmax = jnp.full(BLOCK, BIG)
+                rtmin = jnp.full(blk, -BIG)
+                rtmax = jnp.full(blk, BIG)
                 b0 = 8 + 8 * r
                 for ax in range(3):
                     t0_ = (bc(b0 + ax) - o[ax]) * inv[ax]
@@ -361,7 +365,7 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                         def test(tb, r=r):
                             tr = read_row(slot, c, r)
                             tb, _, _ = row_test(
-                                tr, o, d, excl_i, tb, zero_i, zero_i,
+                                tr, o_r, d, excl_i, tb, zero_i, zero_i,
                                 excl_ent=excl_e, any_hit=True,
                             )
                             return tb
@@ -381,7 +385,7 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                     for r in range(R):
                         def test(tb, ib, eb, r=r):
                             tr = read_row(slot, c, r)
-                            return row_test(tr, o, d, excl_i, tb, ib, eb)
+                            return row_test(tr, o_r, d, excl_i, tb, ib, eb)
 
                         g = row_gate(r, tb)
                         tb, ib, eb = test(tb, ib, eb) if g is None else lax.cond(
@@ -417,7 +421,7 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
             outs[1][:] = carry[3]
             outs[2][:] = carry[4]
             if emit_bound:
-                outs[3][:] = jnp.broadcast_to(key_end, BLOCK)
+                outs[3][:] = jnp.broadcast_to(key_end, blk)
 
     return kernel
 
@@ -430,7 +434,8 @@ PHASE1_K = 64
 
 def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
                    rows_per_chunk, row_test, anyhit, stream, excl_ent=None,
-                   interpret=False, two_phase=None, has_row_meta=True):
+                   interpret=False, two_phase=None, has_row_meta=True,
+                   block_rows=BLOCK[0], plane_rows=False):
     """Shared launch: coherence sort, pad, block cull + order, pallas_call,
     unsort.  t_seed is t_init (closest) or t_max (anyhit).
 
@@ -445,8 +450,9 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
     exits immediately, so phase 2's cost scales with the straggler count,
     not the wave size."""
     N = o.shape[0]
-    npad = -(-N // BLOCK_N) * BLOCK_N
-    grid = npad // BLOCK_N
+    block_n = block_rows * BLOCK[1]
+    npad = -(-N // block_n) * block_n
+    grid = npad // block_n
 
     o = lax.stop_gradient(o)
     d = lax.stop_gradient(d)
@@ -515,24 +521,24 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
             keys = jnp.pad(keys, ((0, 0), (0, cpad - n_c)),
                            constant_values=_MISS)
         args = [
-            o_[:, 0].reshape(grid * BLOCK[0], BLOCK[1]),
-            o_[:, 1].reshape(grid * BLOCK[0], BLOCK[1]),
-            o_[:, 2].reshape(grid * BLOCK[0], BLOCK[1]),
-            d_[:, 0].reshape(grid * BLOCK[0], BLOCK[1]),
-            d_[:, 1].reshape(grid * BLOCK[0], BLOCK[1]),
-            d_[:, 2].reshape(grid * BLOCK[0], BLOCK[1]),
-            excl_.reshape(grid * BLOCK[0], BLOCK[1]),
+            o_[:, 0].reshape(grid * block_rows, BLOCK[1]),
+            o_[:, 1].reshape(grid * block_rows, BLOCK[1]),
+            o_[:, 2].reshape(grid * block_rows, BLOCK[1]),
+            d_[:, 0].reshape(grid * block_rows, BLOCK[1]),
+            d_[:, 1].reshape(grid * block_rows, BLOCK[1]),
+            d_[:, 2].reshape(grid * block_rows, BLOCK[1]),
+            excl_.reshape(grid * block_rows, BLOCK[1]),
         ]
         if anyhit:
-            args.append(eent_.reshape(grid * BLOCK[0], BLOCK[1]))
-        args.append(t_.reshape(grid * BLOCK[0], BLOCK[1]))
+            args.append(eent_.reshape(grid * block_rows, BLOCK[1]))
+        args.append(t_.reshape(grid * block_rows, BLOCK[1]))
 
         # SMEM rows ride as (grid, 1, cpad) so the block's trailing two dims
         # equal the array's (a Mosaic block-shape requirement); each program
         # sees its (1, 1, cpad) row.
         ids = ids.reshape(grid, 1, cpad)
         keys = keys.reshape(grid, 1, cpad)
-        ray_spec = pl.BlockSpec(BLOCK, lambda i: (i, 0),
+        ray_spec = pl.BlockSpec((block_rows, BLOCK[1]), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         smem_row = pl.BlockSpec((1, 1, cpad), lambda i: (i, 0, 0),
                                 memory_space=pltpu.SMEM)
@@ -546,9 +552,10 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
             ]
 
         kernel = _make_sorted_kernel(n_c, rows_per_chunk, row_test, anyhit,
-                                     stream, emit_bound, has_row_meta)
-        fshape = jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.float32)
-        ishape = jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.int32)
+                                     stream, emit_bound, has_row_meta,
+                                     block_rows, plane_rows)
+        fshape = jax.ShapeDtypeStruct((grid * block_rows, BLOCK[1]), jnp.float32)
+        ishape = jax.ShapeDtypeStruct((grid * block_rows, BLOCK[1]), jnp.int32)
         if anyhit:
             out_shape = fshape
             out_specs = ray_spec
@@ -579,7 +586,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         two_phase = False
 
     if anyhit:
-        ids, keys = _block_cull_sort(o_p, d_p, t_p, meta, n_chunks)
+        ids, keys = _block_cull_sort(o_p, d_p, t_p, meta, n_chunks, block_n)
         res = run(ids, keys, n_chunks, o_p, d_p, excl_p, t_p, eent_p)
         t_out = res.reshape(npad)[:N]
         if perm is not None:
@@ -587,7 +594,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         return t_out == 0.0
 
     if not two_phase:
-        ids, keys = _block_cull_sort(o_p, d_p, t_p, meta, n_chunks)
+        ids, keys = _block_cull_sort(o_p, d_p, t_p, meta, n_chunks, block_n)
         res = run(ids, keys, n_chunks, o_p, d_p, excl_p, t_p)
         t_out, i_out, e_out = res
         t_out = t_out.reshape(npad)[:N]
@@ -595,7 +602,8 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         e_out = e_out.reshape(npad)[:N]
     else:
         K = min(PHASE1_K, n_chunks)
-        ids1, keys1 = _block_cull_topk(o_p, d_p, t_p, meta, n_chunks, K)
+        ids1, keys1 = _block_cull_topk(o_p, d_p, t_p, meta, n_chunks, K,
+                                       block_n)
         t1, i1, e1, bound = run(ids1, keys1, K, o_p, d_p, excl_p, t_p,
                                 emit_bound=True)
         t1 = t1.reshape(npad)
@@ -635,7 +643,8 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         excl2 = packed2[:, 6].astype(jnp.int32)
         t_eff2 = packed2[:, 7]
 
-        ids2, keys2 = _block_cull_compact(o2, d2, t_eff2, meta, n_chunks)
+        ids2, keys2 = _block_cull_compact(o2, d2, t_eff2, meta, n_chunks,
+                                          block_n)
         t2, i2, e2 = run(ids2, keys2, n_chunks, o2, d2, excl2, t_eff2)
         t2 = t2.reshape(npad)
         i2 = i2.reshape(npad)
@@ -671,7 +680,8 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
 
 def closest_hit_sorted(ct, n_chunks, o, d, excl_idx, t_init,
                        rows_per_chunk=ROWS_PER_CHUNK_SORTED, stream=True,
-                       interpret=False, two_phase=None):
+                       interpret=False, two_phase=None,
+                       block_rows=None):
     """Closest triangle hit via sorted (front-to-back) chunk traversal.
     Same contract as pallas_traverse.closest_hit_chunked: (t, idx, ent),
     t == BIG where nothing beat t_init.  stream=True keeps the triangle
@@ -680,20 +690,22 @@ def closest_hit_sorted(ct, n_chunks, o, d, excl_idx, t_init,
     slower than the single walk on this chip; off by default)."""
     return _launch_sorted(
         ct.chunk_meta, ct.tris, o, d, excl_idx, t_init, n_chunks,
-        rows_per_chunk, _tri_row_test, anyhit=False, stream=stream,
+        rows_per_chunk, _tri_row_test_v2, anyhit=False, stream=stream,
         interpret=interpret, two_phase=two_phase,
+        block_rows=block_rows or BLOCK[0], plane_rows=True,
     )
 
 
 def occludes_sorted(ct, n_chunks, o, d, excl_idx, excl_ent, t_max,
                     rows_per_chunk=ROWS_PER_CHUNK_SORTED, stream=True,
-                    interpret=False):
+                    interpret=False, block_rows=None):
     """Any-hit occlusion via sorted chunk traversal (early exit as soon as
     every live lane is occluded or out of candidate chunks)."""
     return _launch_sorted(
         ct.chunk_meta, ct.tris, o, d, excl_idx, t_max, n_chunks,
-        rows_per_chunk, _tri_row_test, anyhit=True, stream=stream,
+        rows_per_chunk, _tri_row_test_v2, anyhit=True, stream=stream,
         excl_ent=excl_ent, interpret=interpret,
+        block_rows=block_rows or BLOCK[0], plane_rows=True,
     )
 
 
