@@ -236,6 +236,7 @@ def intersect_brief(static, scene, o, d, excl_kind, excl_idx):
                 rows_per_chunk=static.pallas_tri_rows,
                 stream=static.pallas_tri_stream,
                 interpret=static.pallas_interpret,
+                block_rows=static.pallas_block_rows,
             )
         elif static.use_bvh and scene.bvh is not None:
             from paths_tpu.bvh.traverse import closest_hit_bvh
@@ -321,6 +322,7 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
             t_max, rows_per_chunk=static.pallas_tri_rows,
             stream=static.pallas_tri_stream,
             interpret=static.pallas_interpret,
+            block_rows=static.pallas_block_rows,
         )
     return occ
 

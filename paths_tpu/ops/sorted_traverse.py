@@ -717,7 +717,7 @@ SPH_ROWS_PER_CHUNK_SORTED = 2
 
 def closest_hit_spheres_sorted(cs, n_chunks, o, d, excl_idx, t_init,
                                rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
-                               interpret=False):
+                               interpret=False, block_rows=None):
     """Closest sphere hit via the sorted chunk walk (same machinery as the
     triangle kernels: conservative block cull, front-to-back order, early
     exit, root-AABB lane cull) over pack_spheres_chunked tables.  Replaces
@@ -728,15 +728,17 @@ def closest_hit_spheres_sorted(cs, n_chunks, o, d, excl_idx, t_init,
         cs.chunk_meta, cs.tris, o, d, excl_idx, t_init, n_chunks,
         rows_per_chunk, _sphere_row_test, anyhit=False, stream=False,
         interpret=interpret, has_row_meta=False,
+        block_rows=block_rows or BLOCK[0],
     )
 
 
 def occludes_spheres_sorted(cs, n_chunks, o, d, excl_idx, excl_ent, t_max,
                             rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
-                            interpret=False):
+                            interpret=False, block_rows=None):
     """Any-hit sphere occlusion via the sorted chunk walk."""
     return _launch_sorted(
         cs.chunk_meta, cs.tris, o, d, excl_idx, t_max, n_chunks,
         rows_per_chunk, _sphere_row_test, anyhit=True, stream=False,
         excl_ent=excl_ent, interpret=interpret, has_row_meta=False,
+        block_rows=block_rows or BLOCK[0],
     )

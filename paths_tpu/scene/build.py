@@ -280,6 +280,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
     pallas_tri_chunks = 0
     pallas_tri_stream = False
     pallas_tri_rows = 8
+    pallas_block_rows = 8
     if tri_chunks:
         cat = {k: np.concatenate([c[k] for c in tri_chunks]) for k in tri_chunks[0]}
         n_cat = len(cat["v0"])
@@ -323,6 +324,13 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
                     ptris.tris.shape[0] + ptris.chunk_meta.shape[0]
                 ) * 128 * 4
                 pallas_tri_stream = resident_bytes >= PT.VMEM_LIMIT_BYTES
+                # Wider ray blocks amortize the scalar-bound row test on
+                # big (streamed) meshes, where incoherent bounce waves
+                # dominate; small resident meshes keep the finer early
+                # exit.  PATHS_TPU_BLOCK_ROWS overrides for sweeps.
+                pallas_block_rows = int(
+                    _os.environ.get("PATHS_TPU_BLOCK_ROWS", 0)
+                ) or (16 if pallas_tri_stream else 8)
             else:
                 bvh_arrays = BvhArrays(
                     node_min=jnp.asarray(flat.node_min),
@@ -413,6 +421,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         pallas_tri_chunks=pallas_tri_chunks,
         pallas_tri_stream=pallas_tri_stream,
         pallas_tri_rows=pallas_tri_rows,
+        pallas_block_rows=pallas_block_rows,
         pallas_sph_chunks=pallas_sph_chunks,
         n_sph_big=n_sph_big,
         onehot_tables=_on_accel() or _force_pallas(),

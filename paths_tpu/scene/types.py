@@ -130,6 +130,11 @@ class SceneStatic:
     pallas_tri_chunks: int = 0
     pallas_tri_stream: bool = False
     pallas_tri_rows: int = 8
+    # Ray-block sublane count for the sorted kernels.  The row test is
+    # scalar-broadcast-bound (~84% of its cost is per-row scalar splats),
+    # so wider blocks amortize it across more lanes; the candidate-union
+    # growth is sublinear, so large streamed meshes net ~1.4x at 16.
+    pallas_block_rows: int = 8
     # Pallas culled-chunk sphere intersector; sphere array layout is
     # [0, n_sph_big) double-single-path spheres, then kernel spheres.
     pallas_sph_chunks: int = 0
