@@ -275,7 +275,14 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
     intersection" -- the t_max the caller derives analytically.  On the
     Pallas path a hit collapses the lane immediately (early exit), instead
     of refining a closest distance nobody reads; lanes whose contribution is
-    already known zero arrive with origin pushed to 1e30 and cull away."""
+    already known zero arrive with origin pushed to 1e30 and cull away.
+
+    Source-primitive exclusion is sound for BOTH kinds: a flat triangle
+    cannot occlude its own offset ray, and a sphere is convex -- a shadow
+    ray with cos_theta > 0 (above the local tangent plane, the only rays
+    NEE casts) can never re-enter the sphere it left, from outside or
+    inside.  So excluding the source only removes f32 acne, never real
+    occlusion."""
     N = o.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
     excl_ent = jnp.broadcast_to(jnp.asarray(excl_ent, jnp.int32), (N,))

@@ -101,7 +101,15 @@ def _object(d) -> D.ObjectD:
 
 
 def _light(d) -> D.LightD:
-    geom = d.get("geometry", {})
+    geom = d.get("geometry")
+    if geom is None:
+        # serde.rs:202-224: lights are a tagged `geometry` block.  A missing
+        # block previously fell through to a Point light at the origin --
+        # silently wrecking the scene (found authoring ct_demo.yml).
+        raise ValueError(
+            "light is missing its 'geometry:' block (expected e.g. "
+            "geometry: {type: Sphere, center: {...}, radius: r})"
+        )
     kind = str(geom.get("type", "Point")).lower()
     light = D.LightD(
         kind=kind,

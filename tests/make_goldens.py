@@ -40,6 +40,9 @@ GOLDENS = {
     "teapot": ("/root/reference/scenes/teapot.yml", 2, 4, {}),
     "bunny": ("/root/reference/scenes/bunny.yml", 2, 4, {}),
     "env_demo": ("scenes/env_demo.yml", 2, 4, {}),
+    # CookTorrance + Fresnel coverage (material.rs:373-524): the two
+    # NEE/eval-only reference materials previously appeared in no golden.
+    "ct_demo": ("scenes/ct_demo.yml", 2, 4, {}),
     # environment.yml composition: triangles + HDRI, with and without env
     # importance sampling (VERDICT r2 item 6).
     "env_mesh_demo": ("scenes/env_mesh_demo.yml", 2, 4, {}),
