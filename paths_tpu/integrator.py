@@ -101,6 +101,7 @@ def _scan_spheres_pallas(static, scene, o, d, excl_kind, excl_idx):
     tk, ik, ek = closest_hit_spheres_sorted(
         scene.psph, static.pallas_sph_chunks, o, d, excl_i, t_best,
         interpret=static.pallas_interpret,
+        lane_sort=not static.wave_presorted,
     )
     better = tk < t_best
     return (
@@ -237,6 +238,7 @@ def intersect_brief(static, scene, o, d, excl_kind, excl_idx):
                 stream=static.pallas_tri_stream,
                 interpret=static.pallas_interpret,
                 block_rows=static.pallas_block_rows,
+                lane_sort=not static.wave_presorted,
             )
         elif static.use_bvh and scene.bvh is not None:
             from paths_tpu.bvh.traverse import closest_hit_bvh
@@ -320,6 +322,7 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
         occ = occ | occludes_spheres_sorted(
             scene.psph, static.pallas_sph_chunks, o_eff, d, excl_i, excl_ent,
             t_max, interpret=static.pallas_interpret,
+            lane_sort=not static.wave_presorted,
         )
     if static.has_tris:
         excl_i = jnp.where(excl_kind == KIND_TRI, excl_idx, jnp.int32(-1))
@@ -330,6 +333,7 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
             stream=static.pallas_tri_stream,
             interpret=static.pallas_interpret,
             block_rows=static.pallas_block_rows,
+            lane_sort=not static.wave_presorted,
         )
     return occ
 

@@ -435,7 +435,7 @@ PHASE1_K = 64
 def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
                    rows_per_chunk, row_test, anyhit, stream, excl_ent=None,
                    interpret=False, two_phase=None, has_row_meta=True,
-                   block_rows=BLOCK[0], plane_rows=False):
+                   block_rows=BLOCK[0], plane_rows=False, lane_sort=True):
     """Shared launch: coherence sort, pad, block cull + order, pallas_call,
     unsort.  t_seed is t_init (closest) or t_max (anyhit).
 
@@ -490,7 +490,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
     o = jnp.where(root_hit[:, None], o, 1e30)
 
     perm = None
-    if N >= _SORT_MIN_N:
+    if lane_sort and N >= _SORT_MIN_N:
         perm = _coherence_perm(o, d, lo, hi, octant_major=True)
         cols = [o, d, excl_idx.astype(jnp.float32)[:, None], t_seed[:, None]]
         if anyhit:
@@ -681,7 +681,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
 def closest_hit_sorted(ct, n_chunks, o, d, excl_idx, t_init,
                        rows_per_chunk=ROWS_PER_CHUNK_SORTED, stream=True,
                        interpret=False, two_phase=None,
-                       block_rows=None):
+                       block_rows=None, lane_sort=True):
     """Closest triangle hit via sorted (front-to-back) chunk traversal.
     Same contract as pallas_traverse.closest_hit_chunked: (t, idx, ent),
     t == BIG where nothing beat t_init.  stream=True keeps the triangle
@@ -693,12 +693,13 @@ def closest_hit_sorted(ct, n_chunks, o, d, excl_idx, t_init,
         rows_per_chunk, _tri_row_test_v2, anyhit=False, stream=stream,
         interpret=interpret, two_phase=two_phase,
         block_rows=block_rows or BLOCK[0], plane_rows=True,
+        lane_sort=lane_sort,
     )
 
 
 def occludes_sorted(ct, n_chunks, o, d, excl_idx, excl_ent, t_max,
                     rows_per_chunk=ROWS_PER_CHUNK_SORTED, stream=True,
-                    interpret=False, block_rows=None):
+                    interpret=False, block_rows=None, lane_sort=True):
     """Any-hit occlusion via sorted chunk traversal (early exit as soon as
     every live lane is occluded or out of candidate chunks)."""
     return _launch_sorted(
@@ -706,6 +707,7 @@ def occludes_sorted(ct, n_chunks, o, d, excl_idx, excl_ent, t_max,
         rows_per_chunk, _tri_row_test_v2, anyhit=True, stream=stream,
         excl_ent=excl_ent, interpret=interpret,
         block_rows=block_rows or BLOCK[0], plane_rows=True,
+        lane_sort=lane_sort,
     )
 
 
@@ -717,7 +719,8 @@ SPH_ROWS_PER_CHUNK_SORTED = 2
 
 def closest_hit_spheres_sorted(cs, n_chunks, o, d, excl_idx, t_init,
                                rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
-                               interpret=False, block_rows=None):
+                               interpret=False, block_rows=None,
+                               lane_sort=True):
     """Closest sphere hit via the sorted chunk walk (same machinery as the
     triangle kernels: conservative block cull, front-to-back order, early
     exit, root-AABB lane cull) over pack_spheres_chunked tables.  Replaces
@@ -728,17 +731,18 @@ def closest_hit_spheres_sorted(cs, n_chunks, o, d, excl_idx, t_init,
         cs.chunk_meta, cs.tris, o, d, excl_idx, t_init, n_chunks,
         rows_per_chunk, _sphere_row_test, anyhit=False, stream=False,
         interpret=interpret, has_row_meta=False,
-        block_rows=block_rows or BLOCK[0],
+        block_rows=block_rows or BLOCK[0], lane_sort=lane_sort,
     )
 
 
 def occludes_spheres_sorted(cs, n_chunks, o, d, excl_idx, excl_ent, t_max,
                             rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
-                            interpret=False, block_rows=None):
+                            interpret=False, block_rows=None,
+                            lane_sort=True):
     """Any-hit sphere occlusion via the sorted chunk walk."""
     return _launch_sorted(
         cs.chunk_meta, cs.tris, o, d, excl_idx, t_max, n_chunks,
         rows_per_chunk, _sphere_row_test, anyhit=True, stream=False,
         excl_ent=excl_ent, interpret=interpret, has_row_meta=False,
-        block_rows=block_rows or BLOCK[0],
+        block_rows=block_rows or BLOCK[0], lane_sort=lane_sort,
     )

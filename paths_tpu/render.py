@@ -97,7 +97,22 @@ def render_samples(
 
     Forward-only: uses lax.while_loop, so not reverse-differentiable.
     Gradients go through render_wave / trace_rays (fixed schedule).
+
+    WAVE-STATE SORT (Pallas scenes): instead of each traversal call
+    coherence-sorting its rays and unsorting its results (2 argsorts + 4
+    gather/scatter passes per bounce), the whole per-lane wave state is
+    permuted ONCE per bounce by the same (direction octant | origin
+    morton) key, and both the closest-hit and occlusion kernels run with
+    their internal lane sort disabled (static.wave_presorted).  Per-lane
+    results are lane-position-independent, and the RNG is keyed on the
+    carried pixel_id, so the image is unchanged; the finished-sample sums
+    are scattered back to the caller's lane order at the end.  Occlusion
+    rays ride the bounce-ray sort: their origins are the sorted wave's hit
+    points and, for any single light, their directions are sign-pure for
+    every block not straddling the light's coordinate planes.
     """
+    import os
+
     from jax import lax
 
     seed = jnp.asarray(seed).astype(jnp.uint32)
@@ -106,25 +121,44 @@ def render_samples(
     s_start = jnp.asarray(sample_start).astype(jnp.uint32)
     n_total = jnp.uint32(n_samples)
 
-    def u_for(sample_slot):
+    from paths_tpu.ops import pallas_traverse as PT
+
+    wave_sort = (
+        N >= PT._SORT_MIN_N
+        and (static.pallas_tri_chunks > 0 or static.pallas_sph_chunks > 0)
+        and os.environ.get("PATHS_TPU_WAVE_SORT", "1") != "0"
+    )
+    if wave_sort:
+        import dataclasses
+
+        static = dataclasses.replace(static, wave_presorted=True)
+        bounds = []
+        if static.pallas_tri_chunks > 0 and scene.ptris is not None:
+            bounds.append(PT._meta_bounds(scene.ptris.chunk_meta))
+        if static.pallas_sph_chunks > 0 and scene.psph is not None:
+            bounds.append(PT._meta_bounds(scene.psph.chunk_meta))
+        w_lo = bounds[0][0] if len(bounds) == 1 else jnp.minimum(*[b[0] for b in bounds])
+        w_hi = bounds[0][1] if len(bounds) == 1 else jnp.maximum(*[b[1] for b in bounds])
+
+    def u_for(sample_slot, pid):
         sid = s_start + sample_slot
 
         def u(bounce, dim):
             return H.uniform(
-                seed, pixel_id, sid,
+                seed, pid, sid,
                 jnp.asarray(bounce).astype(jnp.uint32)
                 * jnp.uint32(H.DIMS_PER_BOUNCE) + jnp.uint32(dim),
             )
 
         return u
 
-    def regen(slot):
+    def regen(slot, px_, py_, pid_):
         """Camera rays + fresh path state for per-lane sample slot."""
         sid = s_start + slot
-        o, d, w = gen_camera_rays(cam, px, py, pixel_id, sid, seed)
+        o, d, w = gen_camera_rays(cam, px_, py_, pid_, sid, seed)
         return I.fresh_path_state(o, d), w
 
-    state0, w0 = regen(jnp.zeros(N, jnp.uint32))
+    state0, w0 = regen(jnp.zeros(N, jnp.uint32), px, py, pixel_id)
     carry0 = (
         jnp.zeros((N, 3)),           # acc: finished-sample sum
         jnp.zeros(N, jnp.uint32),    # per-lane sample slot
@@ -132,14 +166,32 @@ def render_samples(
         w0,                          # per-lane sensor weight
         jnp.zeros(N, bool),          # done: all samples consumed
         state0,
+        px, py, pixel_id,
+        jnp.arange(N, dtype=jnp.int32),  # original lane position
     )
 
     def cond(carry):
         return ~jnp.all(carry[4])
 
     def body(carry):
-        acc, slot, bounce, w, done, state = carry
-        state = I.path_step(static, scene, bounce, state, u_for(slot))
+        acc, slot, bounce, w, done, state, px_, py_, pid_, orig = carry
+
+        if wave_sort:
+            # Done/dead lanes key to max morton and pack into tail blocks.
+            o_key = jnp.where(
+                (state[4] & ~done)[..., None], state[0], 1e30
+            )
+            perm = PT._coherence_perm(o_key, state[1], w_lo, w_hi,
+                                      octant_major=True)
+
+            def take(x):
+                return jnp.take(x, perm, axis=0)
+
+            acc, slot, bounce, w, done = map(take, (acc, slot, bounce, w, done))
+            state = tuple(take(x) for x in state)
+            px_, py_, pid_, orig = map(take, (px_, py_, pid_, orig))
+
+        state = I.path_step(static, scene, bounce, state, u_for(slot, pid_))
         bounce = bounce + 1
         alive = state[4]
         finished = ~done & (~alive | (bounce >= max_b))
@@ -152,7 +204,7 @@ def render_samples(
         slot = jnp.where(finished, slot + 1, slot)
         done = done | (finished & (slot >= n_total))
         start_new = finished & ~done
-        fresh, w_new = regen(slot)
+        fresh, w_new = regen(slot, px_, py_, pid_)
         bounce = jnp.where(start_new, 0, bounce)
         w = jnp.where(start_new, w_new, w)
 
@@ -165,10 +217,13 @@ def render_samples(
         state = tuple(sel(n, o) for n, o in zip(fresh, state))
         # Retired lanes must not keep tracing: force dead.
         state = state[:4] + (state[4] & ~done,) + state[5:]
-        return (acc, slot, bounce, w, done, state)
+        return (acc, slot, bounce, w, done, state, px_, py_, pid_, orig)
 
     carry = lax.while_loop(cond, body, carry0)
-    return carry[0]
+    acc, orig = carry[0], carry[-1]
+    if wave_sort:
+        acc = jnp.zeros_like(acc).at[orig].set(acc)
+    return acc
 
 
 @partial(jax.jit, static_argnums=(0, 7))

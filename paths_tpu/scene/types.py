@@ -154,6 +154,11 @@ class SceneStatic:
     # dryruns exercise the production kernel path without a TPU; set via
     # PATHS_TPU_FORCE_PALLAS=1, see scene/build.py).
     pallas_interpret: bool = False
+    # The caller keeps the whole wave coherence-sorted (render_samples'
+    # per-bounce wave-state sort), so the closest-hit kernels skip their
+    # internal lane sort + unsort.  Occlusion queries still sort (shadow
+    # rays are a different ray set and rely on root-cull packing).
+    wave_presorted: bool = False
 
     @property
     def has_spheres(self) -> bool:
