@@ -143,6 +143,15 @@ def main(argv=None):
 
         if args.env_nee:
             raise SystemExit("--env-nee is TPU-path only (not in --native-cpu)")
+        # The native tracer renders from scratch in one shot: flags that
+        # configure the JAX pipeline would be silently ignored -- refuse
+        # rather than lie (e.g. printing 'resumed' then starting over).
+        for flag, name in ((args.checkpoint, "--checkpoint"),
+                           (args.profile, "--profile"),
+                           (args.dp, "--dp"),
+                           (args.check, "--check")):
+            if flag:
+                raise SystemExit(f"{name} is not supported with --native-cpu")
         img = native.cpu_render(
             static, scene, cam, width, height, args.spp, seed=args.seed,
             n_threads=args.threads, max_bounces=args.max_bounces,

@@ -36,15 +36,25 @@ def _load() -> ctypes.CDLL | None:
         if _build_failed:
             return None
         # Always invoke make: a no-op when the library is current, a
-        # rebuild when any .cc is newer than the cached .so.
+        # rebuild when any .cc is newer than the cached .so.  An exclusive
+        # file lock serialises concurrent builders (pytest-xdist workers
+        # import this module simultaneously; two g++ links writing the same
+        # .so in place can hand one of them a half-written library).
         try:
-            subprocess.run(
-                ["make", "-s"],
-                cwd=_DIR,
-                check=True,
-                capture_output=True,
-                timeout=300,
-            )
+            import fcntl
+
+            with open(os.path.join(_DIR, ".build.lock"), "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    subprocess.run(
+                        ["make", "-s"],
+                        cwd=_DIR,
+                        check=True,
+                        capture_output=True,
+                        timeout=300,
+                    )
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
         except (subprocess.SubprocessError, OSError):
             if not os.path.exists(_LIB_PATH):
                 _build_failed = True
@@ -56,63 +66,71 @@ def _load() -> ctypes.CDLL | None:
             return None
 
         c = ctypes
-        lib.paths_obj_load.restype = c.c_void_p
-        lib.paths_obj_load.argtypes = [c.c_char_p, c.POINTER(c.c_int64)]
-        lib.paths_obj_model_info.restype = c.c_int
-        lib.paths_obj_model_info.argtypes = [
-            c.c_void_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
-            c.POINTER(c.c_int32), c.POINTER(c.c_int32),
-        ]
-        lib.paths_obj_model_data.restype = c.c_int
-        lib.paths_obj_model_data.argtypes = [
-            c.c_void_p, c.c_int64, c.POINTER(c.c_double), c.POINTER(c.c_int64),
-            c.POINTER(c.c_double), c.POINTER(c.c_double),
-        ]
-        lib.paths_obj_free.restype = None
-        lib.paths_obj_free.argtypes = [c.c_void_p]
-        lib.paths_ply_load.restype = c.c_void_p
-        lib.paths_ply_load.argtypes = [
-            c.c_char_p, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
-            c.POINTER(c.c_int32),
-        ]
-        lib.paths_ply_data.restype = c.c_int
-        lib.paths_ply_data.argtypes = [
-            c.c_void_p, c.POINTER(c.c_double), c.POINTER(c.c_int64),
-            c.POINTER(c.c_double),
-        ]
-        lib.paths_ply_free.restype = None
-        lib.paths_ply_free.argtypes = [c.c_void_p]
+        try:
+            lib.paths_obj_load.restype = c.c_void_p
+            lib.paths_obj_load.argtypes = [c.c_char_p, c.POINTER(c.c_int64)]
+            lib.paths_obj_model_info.restype = c.c_int
+            lib.paths_obj_model_info.argtypes = [
+                c.c_void_p, c.c_int64, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+            ]
+            lib.paths_obj_model_data.restype = c.c_int
+            lib.paths_obj_model_data.argtypes = [
+                c.c_void_p, c.c_int64, c.POINTER(c.c_double), c.POINTER(c.c_int64),
+                c.POINTER(c.c_double), c.POINTER(c.c_double),
+            ]
+            lib.paths_obj_free.restype = None
+            lib.paths_obj_free.argtypes = [c.c_void_p]
+            lib.paths_ply_load.restype = c.c_void_p
+            lib.paths_ply_load.argtypes = [
+                c.c_char_p, c.POINTER(c.c_int64), c.POINTER(c.c_int64),
+                c.POINTER(c.c_int32),
+            ]
+            lib.paths_ply_data.restype = c.c_int
+            lib.paths_ply_data.argtypes = [
+                c.c_void_p, c.POINTER(c.c_double), c.POINTER(c.c_int64),
+                c.POINTER(c.c_double),
+            ]
+            lib.paths_ply_free.restype = None
+            lib.paths_ply_free.argtypes = [c.c_void_p]
 
-        lib.paths_build_bvh.restype = ctypes.c_int
-        lib.paths_build_bvh.argtypes = [
-            ctypes.POINTER(ctypes.c_float),  # tri_min
-            ctypes.POINTER(ctypes.c_float),  # tri_max
-            ctypes.c_int64,  # n
-            ctypes.c_int32,  # leaf_size
-            ctypes.POINTER(ctypes.c_float),  # node_min
-            ctypes.POINTER(ctypes.c_float),  # node_max
-            ctypes.POINTER(ctypes.c_int32),  # hit_link
-            ctypes.POINTER(ctypes.c_int32),  # miss_link
-            ctypes.POINTER(ctypes.c_int32),  # prim_start
-            ctypes.POINTER(ctypes.c_int32),  # prim_count
-            ctypes.POINTER(ctypes.c_int64),  # order
-            ctypes.POINTER(ctypes.c_int64),  # n_nodes out
-            ctypes.POINTER(ctypes.c_int32),  # depth out
-        ]
-        dp = c.POINTER(c.c_double)
-        ip = c.POINTER(c.c_int32)
-        bp = c.POINTER(c.c_uint8)
-        fp = c.POINTER(c.c_float)
-        lib.paths_cpu_render.restype = c.c_int
-        lib.paths_cpu_render.argtypes = [
-            c.c_int, c.c_int, c.c_int, c.c_uint64, c.c_int, c.c_int, dp,
-            c.c_int, dp, dp, ip,                       # spheres
-            c.c_int, dp, dp, dp, dp, dp, dp, ip, bp,   # triangles
-            c.c_int, ip, dp, bp, dp, dp, dp, bp, dp,   # entities
-            c.c_int, ip, dp, dp, dp, dp, ip,           # lights
-            c.c_int, dp, dp, c.c_int, c.c_int, fp,     # sky
-            dp,                                        # out
-        ]
+            lib.paths_build_bvh.restype = ctypes.c_int
+            lib.paths_build_bvh.argtypes = [
+                ctypes.POINTER(ctypes.c_float),  # tri_min
+                ctypes.POINTER(ctypes.c_float),  # tri_max
+                ctypes.c_int64,  # n
+                ctypes.c_int32,  # leaf_size
+                ctypes.POINTER(ctypes.c_float),  # node_min
+                ctypes.POINTER(ctypes.c_float),  # node_max
+                ctypes.POINTER(ctypes.c_int32),  # hit_link
+                ctypes.POINTER(ctypes.c_int32),  # miss_link
+                ctypes.POINTER(ctypes.c_int32),  # prim_start
+                ctypes.POINTER(ctypes.c_int32),  # prim_count
+                ctypes.POINTER(ctypes.c_int64),  # order
+                ctypes.POINTER(ctypes.c_int64),  # n_nodes out
+                ctypes.POINTER(ctypes.c_int32),  # depth out
+            ]
+            dp = c.POINTER(c.c_double)
+            ip = c.POINTER(c.c_int32)
+            bp = c.POINTER(c.c_uint8)
+            fp = c.POINTER(c.c_float)
+            lib.paths_cpu_render.restype = c.c_int
+            lib.paths_cpu_render.argtypes = [
+                c.c_int, c.c_int, c.c_int, c.c_uint64, c.c_int, c.c_int, dp,
+                c.c_int, dp, dp, ip,                       # spheres
+                c.c_int, dp, dp, dp, dp, dp, dp, ip, bp,   # triangles
+                c.c_int, ip, dp, bp, dp, dp, dp, bp, dp,   # entities
+                c.c_int, ip, dp, dp, dp, dp, ip,           # lights
+                c.c_int, dp, dp, c.c_int, c.c_int, fp,     # sky
+                dp,                                        # out
+            ]
+        except AttributeError:
+            # A stale .so from an older build (e.g. make unavailable after
+            # a pull that added symbols) is missing entry points: treat as
+            # no native support rather than crashing callers that promise
+            # graceful degradation.
+            _build_failed = True
+            return None
         _lib = lib
         return _lib
 

@@ -87,6 +87,17 @@ def _pack_nodes(flat) -> np.ndarray:
     return nodes
 
 
+def _leaf_map(flat, T):
+    """Primitive -> (row, slot) for the leaf-row layouts; prim ranges are
+    contiguous in leaf order.  Returns (row, slot, leaf_start)."""
+    is_leaf = flat.prim_count > 0
+    leaf_start = flat.prim_start[is_leaf]  # (R,) ascending, partitions [0,T)
+    g = np.arange(T)
+    row = np.searchsorted(leaf_start, g, side="right") - 1
+    slot = g - leaf_start[row]
+    return row, slot, leaf_start
+
+
 def _pack_tri_rows(flat, v0, v1, v2, n, ent=None) -> np.ndarray:
     """Vectorised leaf-row packing (dragon-class meshes run to ~1M faces;
     a per-primitive Python loop would dominate scene build)."""
@@ -98,13 +109,8 @@ def _pack_tri_rows(flat, v0, v1, v2, n, ent=None) -> np.ndarray:
     if ent is None:
         ent = np.zeros(T, np.int64)
     ent = np.asarray(ent)
-    is_leaf = flat.prim_count > 0
-    n_leaves = int(is_leaf.sum())
-    leaf_start = flat.prim_start[is_leaf]  # (R,) ascending, partitions [0,T)
-    # Primitive -> (row, slot): prim ranges are contiguous in leaf order.
-    g = np.arange(T)
-    row = np.searchsorted(leaf_start, g, side="right") - 1
-    slot = g - leaf_start[row]
+    row, slot, leaf_start = _leaf_map(flat, T)
+    n_leaves = len(leaf_start)
 
     area = np.einsum("ij,ij->i", n, np.cross(v1 - v0, v2 - v0))
     # Per-triangle constants precomputed in f64 at pack time so the kernel
@@ -120,7 +126,7 @@ def _pack_tri_rows(flat, v0, v1, v2, n, ent=None) -> np.ndarray:
         tris[row, base + 3 + j] = v1[:, j]
         tris[row, base + 6 + j] = v2[:, j]
         tris[row, base + 9 + j] = n[:, j]
-    tris[row, base + 12] = g
+    tris[row, base + 12] = np.arange(T)
     tris[row, base + 13] = inv_area
     tris[row, base + 14] = ent
     tris[row, base + 15] = dd
@@ -229,11 +235,7 @@ def _pack_tri_rows_plane(flat, v0, v1, v2, n, ent, centers,
     if ent is None:
         ent = np.zeros(T, np.int64)
     ent = np.asarray(ent)
-    is_leaf = flat.prim_count > 0
-    leaf_start = flat.prim_start[is_leaf]
-    g = np.arange(T)
-    row = np.searchsorted(leaf_start, g, side="right") - 1
-    slot = g - leaf_start[row]
+    row, slot, _ = _leaf_map(flat, T)
     c = np.asarray(centers, np.float64)[row // rows_per_chunk]  # (T, 3)
 
     area = np.einsum("ij,ij->i", n, np.cross(v1 - v0, v2 - v0))
@@ -260,7 +262,7 @@ def _pack_tri_rows_plane(flat, v0, v1, v2, n, ent, centers,
     rows[row, base + 3] = dd
     rows[row, base + 7] = c1
     rows[row, base + 11] = c2
-    rows[row, base + 12] = g
+    rows[row, base + 12] = np.arange(T)
     rows[row, base + 14] = ent
     return rows
 
@@ -276,31 +278,29 @@ def pack_chunked(flat, v0, v1, v2, n, ent=None,
     [7] row count, and -- when rows_per_chunk <= 15 -- [8 : 8+8*rows] per-ROW
     AABBs (lo xyz, hi xyz, pad, pad), the sub-hierarchy the sorted kernels
     use to gate each 8-triangle row test.  Empty rows get an inverted AABB
-    (+BIG lo / -BIG hi) that fails every slab test."""
-    tris = _pack_tri_rows(flat, v0, v1, v2, n, ent)
+    (+BIG lo / -BIG hi) that fails every slab test.
+
+    The table is padded to n_chunks * rows_per_chunk rows so every chunk's
+    full row range [c*rows, (c+1)*rows) is in-bounds: the sorted kernels
+    read/DMA whole chunks unconditionally (sorted_traverse.py).  Pad rows
+    use the canonical empty fill (gid = -1, c1 = c2 = -BIG) so their slots
+    can never hit."""
+    T = len(v0)
+    row, _, leaf_start = _leaf_map(flat, T)
     # One row per BVH *leaf* (leaves may be underfull, so R >= ceil(T/8)).
-    R = max(int((flat.prim_count > 0).sum()), 1)
+    R = max(len(leaf_start), 1)
     n_chunks = -(-R // rows_per_chunk)
     rpad = n_chunks * rows_per_chunk
 
-    # Pad the table itself to n_chunks * rows_per_chunk rows so every
-    # chunk's full row range [c*rows, (c+1)*rows) is in-bounds: the sorted
-    # kernels read/DMA whole chunks unconditionally (sorted_traverse.py),
-    # so an 8-row tris_pad alone would let the last chunk read past the
-    # table.  Pad rows use the canonical empty fill (gid = -1, inv_area = 0)
-    # so their slots can never hit and the live-mask below excludes them
-    # from row AABBs.
-    if rpad > R:
-        empty = np.zeros((rpad - R, 128), np.float32)
-        empty[:, 12::TRI_STRIDE] = -1.0
-        tris = np.concatenate([tris, empty])
-
-    # Per-row AABBs over live slots, vectorised.
-    slots = tris.reshape(rpad, PACK_LEAF, TRI_STRIDE)
-    pts = slots[:, :, 0:9].reshape(rpad, PACK_LEAF, 3, 3)
-    live = (slots[:, :, 12] >= 0)[:, :, None, None]
-    row_lo = np.where(live, pts, BIG).min(axis=(1, 2))   # (rpad, 3)
-    row_hi = np.where(live, pts, -BIG).max(axis=(1, 2))
+    # Per-row AABBs straight from the triangle verts (prim ranges are
+    # contiguous per leaf); rows past R get an inverted AABB.
+    tmin3 = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
+    tmax3 = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
+    row_lo = np.full((rpad, 3), BIG, np.float32)
+    row_hi = np.full((rpad, 3), -BIG, np.float32)
+    if T:
+        row_lo[: len(leaf_start)] = np.minimum.reduceat(tmin3, leaf_start, axis=0)
+        row_hi[: len(leaf_start)] = np.maximum.reduceat(tmax3, leaf_start, axis=0)
 
     meta = np.zeros((n_chunks, 128), np.float32)
     clo = row_lo.reshape(n_chunks, rows_per_chunk, 3)
@@ -323,10 +323,10 @@ def pack_chunked(flat, v0, v1, v2, n, ent=None,
     valid = (meta[:, 7] > 0) & (meta[:, 0] <= meta[:, 3])
     centers = np.where(valid[:, None],
                        0.5 * (meta[:, 0:3] + meta[:, 3:6]), 0.0)
-    tris_v2 = _pack_tri_rows_plane(flat, v0, v1, v2, n, ent,
-                                   centers, rows_per_chunk, rpad)
+    tris = _pack_tri_rows_plane(flat, v0, v1, v2, n, ent,
+                                centers, rows_per_chunk, rpad)
     return ChunkedTris(
-        tris=jnp.asarray(tris_pad(tris_v2)),
+        tris=jnp.asarray(tris_pad(tris)),
         chunk_meta=jnp.asarray(tris_pad(meta)),
     ), n_chunks
 

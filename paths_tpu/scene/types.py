@@ -155,9 +155,11 @@ class SceneStatic:
     # PATHS_TPU_FORCE_PALLAS=1, see scene/build.py).
     pallas_interpret: bool = False
     # The caller keeps the whole wave coherence-sorted (render_samples'
-    # per-bounce wave-state sort), so the closest-hit kernels skip their
-    # internal lane sort + unsort.  Occlusion queries still sort (shadow
-    # rays are a different ray set and rely on root-cull packing).
+    # per-bounce wave-state sort), so BOTH the closest-hit and occlusion
+    # kernels skip their internal lane sort + unsort: shadow rays ride the
+    # bounce-ray sort (origins are the sorted wave's hit points; for any
+    # single light their directions are sign-pure except in blocks that
+    # straddle the light's coordinate planes).
     wave_presorted: bool = False
 
     @property
