@@ -123,8 +123,14 @@ def render_samples(
 
     from paths_tpu.ops import pallas_traverse as PT
 
+    # PATHS_TPU_WAVE_SORT_MIN_N lets tests exercise the wave-sorted path
+    # (incl. under shard_map) on small waves without paying interpret-mode
+    # Pallas at production sizes.
+    sort_min_n = int(
+        os.environ.get("PATHS_TPU_WAVE_SORT_MIN_N", PT._SORT_MIN_N)
+    )
     wave_sort = (
-        N >= PT._SORT_MIN_N
+        N >= sort_min_n
         and (static.pallas_tri_chunks > 0 or static.pallas_sph_chunks > 0)
         and os.environ.get("PATHS_TPU_WAVE_SORT", "1") != "0"
     )

@@ -181,6 +181,43 @@ def test_sharded_forced_pallas_matches_local(tmp_path):
     )
 
 
+def test_sharded_wave_sort_matches_local(tmp_path, monkeypatch):
+    """The render_samples wave-state sort under shard_map (per-shard
+    permutation + final unscatter) == local.  The production threshold
+    (8192 lanes/shard) is lowered via PATHS_TPU_WAVE_SORT_MIN_N so the
+    sorted path compiles and runs at test sizes."""
+    import os
+
+    from paths_tpu.dist import sharded_render_samples
+    from paths_tpu.render import render_samples
+    from paths_tpu.scene.stress import generate_mixed_scene
+    from paths_tpu.scene.build import build_scene
+
+    monkeypatch.setenv("PATHS_TPU_FORCE_PALLAS", "1")
+    sd = generate_mixed_scene(str(tmp_path), n_spheres=40)
+    static, scene, cam = build_scene(sd)
+    assert static.pallas_tri_chunks > 0
+    static = dataclasses.replace(static, max_bounces=2)
+    monkeypatch.setenv("PATHS_TPU_WAVE_SORT_MIN_N", "16")
+
+    n = 256
+    pix = np.arange(n, dtype=np.uint32)
+    px = jnp.asarray((pix % 16).astype(np.int32))
+    py = jnp.asarray((pix // 16).astype(np.int32))
+    pid = jnp.asarray(pix)
+
+    mesh = make_mesh()
+    fwd = sharded_render_samples(static, mesh, n_samples=2)
+    col_sharded = fwd(scene, cam, px, py, pid, jnp.uint32(0), 0)
+    col_local = render_samples(
+        static, scene, cam, px, py, pid, jnp.uint32(0), 2, 0
+    )
+    assert np.isfinite(np.asarray(col_sharded)).all()
+    np.testing.assert_allclose(
+        np.asarray(col_sharded), np.asarray(col_local), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_full_depth_sharded_compile(tiny):
     """The PRODUCTION bounce program at full depth (max_bounces=10, the
     reference's trace.rs:14 cap) compiled and run under shard_map at least
