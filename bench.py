@@ -42,7 +42,9 @@ ANCHOR_RAYS_PER_SEC = {
 BASELINE_RAYS_PER_SEC = ANCHOR_RAYS_PER_SEC["spheres_on_plane"]
 
 
-def bench_scene(scene_path: str, spp: int, tile: int = 345600, reps: int = 5):
+def bench_scene(scene_path, spp: int, tile: int = 345600, reps: int = 5):
+    """scene_path: YAML path, or a zero-arg callable returning a
+    SceneDescription (procedural scenes, e.g. the 500-sphere stress scene)."""
     from functools import partial
 
     import numpy as np
@@ -58,7 +60,7 @@ def bench_scene(scene_path: str, spp: int, tile: int = 345600, reps: int = 5):
             static, scene, cam, px, py, pid, s0, n_samples, seed
         ).sum()
 
-    sd = load_scene_description(scene_path)
+    sd = scene_path() if callable(scene_path) else load_scene_description(scene_path)
     static, scene, cam = build_scene(sd)
     W, H = sd.camera.image_width, sd.camera.image_height
     n_pix = W * H
@@ -101,15 +103,28 @@ def main():
             "unit": "rays/s",
             "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
         }
-        # Secondary tiers (analytic scene is the headline; a small mesh and
-        # a 200k-tri HBM-streaming mesh cover the triangle path) -- each is
-        # best-effort so a tier failure can't take down the headline.
+        # Secondary tiers: one per scene class, so every class the CPU
+        # anchor covers is driver-visible (VMEM-resident meshes: teapot,
+        # bunny; HBM-streamed meshes: doom, dragon; chunked sphere kernel:
+        # stress-500).  Each tier is best-effort so a failure can't take
+        # down the headline.
         repo = os.path.dirname(os.path.abspath(__file__))
+
+        def stress500():
+            from paths_tpu.scene.stress import generate_stress_scene
+
+            return generate_stress_scene(500, seed=0)
+
         tiers = {
             "teapot_4spp": ("/root/reference/scenes/teapot.yml", 4, "teapot"),
+            "bunny_4spp": ("/root/reference/scenes/bunny.yml", 4, "bunny"),
+            "doom_standin_4spp": (
+                os.path.join(repo, "scenes/doom_standin.yml"), 4,
+                "doom_standin"),
             "dragon_standin_4spp": (
                 os.path.join(repo, "scenes/dragon_standin.yml"), 4,
                 "dragon_standin"),
+            "stress500_8spp": (stress500, 8, "stress500"),
         }
         scenes = {}
         for name, (path, spp, anchor) in tiers.items():

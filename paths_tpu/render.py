@@ -74,8 +74,91 @@ def _render_wave_jit(static, scene, cam, px, py, pixel_id, sample_id, seed):
     return render_wave(static, scene, cam, px, py, pixel_id, sample_id, seed)
 
 
+def default_wave_sort(static, n_lanes: int) -> bool:
+    """Whether render_samples should run the per-bounce wave-state sort.
+
+    Resolved OUTSIDE jit (callers thread the result through as a static
+    argument) so flipping PATHS_TPU_WAVE_SORT between calls changes the jit
+    cache key instead of silently reusing the first-compiled schedule.
+    """
+    import os
+
+    from paths_tpu.ops import pallas_traverse as PT
+
+    # PATHS_TPU_WAVE_SORT_MIN_N lets tests exercise the wave-sorted path
+    # (incl. under shard_map) on small waves without paying interpret-mode
+    # Pallas at production sizes.
+    sort_min_n = int(
+        os.environ.get("PATHS_TPU_WAVE_SORT_MIN_N", PT._SORT_MIN_N)
+    )
+    if n_lanes < sort_min_n or not (
+        static.pallas_tri_chunks > 0 or static.pallas_sph_chunks > 0
+    ):
+        return False
+    env = os.environ.get("PATHS_TPU_WAVE_SORT", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    # Auto (measured on TPU v5e, 4spp full waves, 2026-08-21): the packed
+    # one-gather wave sort beats kernel-internal sorting on small meshes
+    # and sphere scenes (teapot/72 chunks 1.96 -> 2.86, bunny/~55 1.43 ->
+    # 2.29, stress-500 1.98 -> 5.81 Mray/s) but LOSES on large ones
+    # (doom/997 chunks 756k -> 619k, dragon/2339 275k -> 198k rays/s):
+    # big-mesh walks are bounded by the block candidate union, and
+    # occlusion rays riding the bounce sort (instead of their own
+    # light-direction sort) widen it.  The 512 threshold is a cut between
+    # the measured regimes, not a measured crossover.
+    return static.pallas_tri_chunks <= _WAVE_SORT_MAX_CHUNKS
+
+
+# See default_wave_sort: largest triangle-chunk count at which the
+# per-bounce wave-state sort still beats the kernels' internal sorting.
+_WAVE_SORT_MAX_CHUNKS = 512
+
+
+def _permute_lanes(arrays, perm):
+    """Apply one lane permutation to many per-lane arrays with a SINGLE
+    gather.
+
+    TPU gather cost is per-op and nearly width-independent (~1.4 ms at 345k
+    lanes regardless of row width -- the lore measured in
+    integrator.py's shading gathers and exploited by the kernels' own
+    packed launch, ops/pallas_traverse.py _launch_sorted), so the ~27
+    scalar columns of wave state are bitcast to one (N, C) int32 matrix,
+    gathered once, and unpacked bit-exactly.  Separate takes per array --
+    the round-3 schedule -- paid ~17 gathers per bounce and regressed
+    teapot 2.7x end-to-end."""
+    from jax import lax
+
+    cols, specs = [], []
+    for x in arrays:
+        x2 = x[:, None] if x.ndim == 1 else x
+        dt = x2.dtype
+        if dt == jnp.bool_:
+            x2 = x2.astype(jnp.int32)
+        elif dt != jnp.int32:
+            x2 = lax.bitcast_convert_type(x2, jnp.int32)
+        cols.append(x2)
+        specs.append((x.ndim, x2.shape[1], dt))
+    packed = jnp.take(jnp.concatenate(cols, axis=1), perm, axis=0)
+    out, c = [], 0
+    for ndim, width, dt in specs:
+        sl = packed[:, c:c + width]
+        c += width
+        if dt == jnp.bool_:
+            v = sl.astype(jnp.bool_)
+        elif dt == jnp.int32:
+            v = sl
+        else:
+            v = lax.bitcast_convert_type(sl, dt)
+        out.append(v[:, 0] if ndim == 1 else v)
+    return tuple(out)
+
+
 def render_samples(
-    static, scene, cam, px, py, pixel_id, sample_start, n_samples: int, seed
+    static, scene, cam, px, py, pixel_id, sample_start, n_samples: int, seed,
+    wave_sort: "bool | None" = None,
 ):
     """Sum of `n_samples` consecutive radiance samples per pixel lane, as one
     on-device *regenerating wavefront*.
@@ -111,8 +194,6 @@ def render_samples(
     points and, for any single light, their directions are sign-pure for
     every block not straddling the light's coordinate planes.
     """
-    import os
-
     from jax import lax
 
     seed = jnp.asarray(seed).astype(jnp.uint32)
@@ -123,17 +204,8 @@ def render_samples(
 
     from paths_tpu.ops import pallas_traverse as PT
 
-    # PATHS_TPU_WAVE_SORT_MIN_N lets tests exercise the wave-sorted path
-    # (incl. under shard_map) on small waves without paying interpret-mode
-    # Pallas at production sizes.
-    sort_min_n = int(
-        os.environ.get("PATHS_TPU_WAVE_SORT_MIN_N", PT._SORT_MIN_N)
-    )
-    wave_sort = (
-        N >= sort_min_n
-        and (static.pallas_tri_chunks > 0 or static.pallas_sph_chunks > 0)
-        and os.environ.get("PATHS_TPU_WAVE_SORT", "1") != "0"
-    )
+    if wave_sort is None:
+        wave_sort = default_wave_sort(static, N)
     if wave_sort:
         import dataclasses
 
@@ -187,15 +259,20 @@ def render_samples(
             o_key = jnp.where(
                 (state[4] & ~done)[..., None], state[0], 1e30
             )
+            # Key family follows the dominant kernel (see _coherence_perm):
+            # octant-major for the sorted triangle kernels (their block
+            # interval cull needs sign-pure direction blocks), morton-major
+            # for sphere-only scenes to match the sphere kernel's internal
+            # preference (measured neutral on stress-500 -- 5.75 vs 5.81
+            # Mray/s -- but kept family-consistent on principle).
             perm = PT._coherence_perm(o_key, state[1], w_lo, w_hi,
-                                      octant_major=True)
-
-            def take(x):
-                return jnp.take(x, perm, axis=0)
-
-            acc, slot, bounce, w, done = map(take, (acc, slot, bounce, w, done))
-            state = tuple(take(x) for x in state)
-            px_, py_, pid_, orig = map(take, (px_, py_, pid_, orig))
+                                      octant_major=static.pallas_tri_chunks > 0)
+            (acc, slot, bounce, w, done, *rest) = _permute_lanes(
+                (acc, slot, bounce, w, done, *state, px_, py_, pid_, orig),
+                perm,
+            )
+            state = tuple(rest[:8])
+            px_, py_, pid_, orig = rest[8:]
 
         state = I.path_step(static, scene, bounce, state, u_for(slot, pid_))
         bounce = bounce + 1
@@ -232,10 +309,27 @@ def render_samples(
     return acc
 
 
-@partial(jax.jit, static_argnums=(0, 7))
-def _render_samples_jit(static, scene, cam, px, py, pixel_id, sample_start, n_samples, seed):
+@partial(jax.jit, static_argnums=(0, 7, 9))
+def _render_samples_jit_inner(
+    static, scene, cam, px, py, pixel_id, sample_start, n_samples, seed,
+    wave_sort,
+):
     return render_samples(
-        static, scene, cam, px, py, pixel_id, sample_start, n_samples, seed
+        static, scene, cam, px, py, pixel_id, sample_start, n_samples, seed,
+        wave_sort=wave_sort,
+    )
+
+
+def _render_samples_jit(
+    static, scene, cam, px, py, pixel_id, sample_start, n_samples, seed
+):
+    # The wave-sort env gate is resolved here, OUTSIDE jit, and threaded
+    # through as a static argument so it participates in the jit cache key
+    # (flipping PATHS_TPU_WAVE_SORT mid-process recompiles instead of
+    # silently reusing the first schedule).
+    return _render_samples_jit_inner(
+        static, scene, cam, px, py, pixel_id, sample_start, n_samples, seed,
+        default_wave_sort(static, px.shape[0]),
     )
 
 
