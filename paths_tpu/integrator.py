@@ -239,6 +239,7 @@ def intersect_brief(static, scene, o, d, excl_kind, excl_idx):
                 interpret=static.pallas_interpret,
                 block_rows=static.pallas_block_rows,
                 lane_sort=not static.wave_presorted,
+                rep=static.pallas_tri_rep,
             )
         elif static.use_bvh and scene.bvh is not None:
             from paths_tpu.bvh.traverse import closest_hit_bvh
@@ -334,6 +335,7 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
             interpret=static.pallas_interpret,
             block_rows=static.pallas_block_rows,
             lane_sort=not static.wave_presorted,
+            rep=static.pallas_tri_rep,
         )
     return occ
 

@@ -204,6 +204,11 @@ class ChunkedTris(NamedTuple):
 
     tris: jnp.ndarray       # (R, 128) f32 leaf-row layout (see pack_bvh)
     chunk_meta: jnp.ndarray  # (C, 128) f32: [aabb min xyz, max xyz, row0, nrows]
+    # Field-replicated table for the streamed kernels (each triangle
+    # constant pre-broadcast across the 128-lane axis so the row test
+    # never touches the scalar unit; sorted_traverse.replicate_tris).
+    # None when the scene doesn't use the replicated layout.
+    tris_rep: "jnp.ndarray | None" = None
 
 
 def _pack_tri_rows_plane(flat, v0, v1, v2, n, ent, centers,

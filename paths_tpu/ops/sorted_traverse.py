@@ -54,6 +54,8 @@ from paths_tpu.ops.pallas_traverse import (
     BIG,
     BLOCK,
     BLOCK_N,
+    PACK_LEAF,
+    TRI_STRIDE,
     _SORT_MIN_N,
     _chunk_shift,
     _coherence_perm,
@@ -93,6 +95,93 @@ def _chunk_cond_enabled() -> bool:
 
     return os.environ.get("PATHS_TPU_NO_CHUNK_COND", "") in ("", "0")
 
+# Field-replicated triangle-table layout for the STREAMED kernels (opt-in,
+# PATHS_TPU_TRI_REP=1).  The compact plane-form row packs 8 slots x 16
+# fields into one (1,128) row, read by the row test as scalar extracts +
+# splats; this layout stores each constant as a full (1,128) row so one
+# (112,128) VMEM read + static sub-slices replaces the splats.  The table
+# is 112x larger (dragon-class ~2 GB HBM, ~860 KB DMA/chunk -- still under
+# the per-visit compute at ~820 GB/s) and is built ON DEVICE
+# (replicate_tris) so it never crosses the host link.
+#
+# MEASURED (TPU v5e, dragon-scale 345k-lane incoherent wave, 2026-08-21):
+# closest-hit 456 -> 432 ms, occlusion 342 -> 376 ms -- net neutral, so
+# the default stays compact.  This experiment FALSIFIED the r3 roofline's
+# "84% of row cost is scalar splats": removing every splat moved closest
+# only 5%.  The decisive measurement is a no-row-test walk at 77 ms vs the
+# real 456 ms -- the kernel is VPU-FLOP-BOUND on the pair tests themselves
+# (~3.9e12 elem-ops/s ~= VPU peak), and the (1,128)->(block,128) sublane
+# broadcasts this layout needs materialize vregs at roughly the cost the
+# splats had.  Next meaningful lever: fewer pair tests, or the MXU.
+REP_FIELDS = 14
+# Source lanes within a compact slot: 12 plane-form floats, gid (12),
+# ent (14); lanes 13/15 are pad.
+_REP_SRC = tuple(range(12)) + (12, 14)
+
+
+def replicate_tris(tris: jnp.ndarray) -> jnp.ndarray:
+    """(R, 128) compact plane-form rows -> (R * 8 * REP_FIELDS, 128)
+    field-replicated rows, built on device."""
+    R = tris.shape[0]
+    slots = tris.reshape(R, PACK_LEAF, TRI_STRIDE)
+    sel = slots[:, :, jnp.asarray(_REP_SRC, dtype=jnp.int32)]
+    rep = jnp.broadcast_to(
+        sel[..., None], (R, PACK_LEAF, REP_FIELDS, 128)
+    )
+    return rep.reshape(R * PACK_LEAF * REP_FIELDS, 128)
+
+
+def _tri_row_test_rep(grp, o, d, excl_i, t_best, i_best, e_best,
+                      excl_ent=None, any_hit=False):
+    """_tri_row_test_v2 over a replicated row GROUP: `grp` is the
+    (PACK_LEAF * REP_FIELDS, 128) block of one 8-triangle row, each field a
+    lane-replicated (1,128) row.  Identical math and semantics to
+    _tri_row_test_v2 (same plane-form fields, same ok-mask, same any_hit
+    collapse); only the constant delivery differs -- static sub-slices of
+    one vector load + sublane broadcasts, no scalar splats."""
+    blk = o[0].shape
+
+    def bcast(k, f):
+        j = k * REP_FIELDS + f
+        return jnp.broadcast_to(grp[j:j + 1, :], blk)
+
+    for k in range(PACK_LEAF):
+        nrm = [bcast(k, j) for j in range(3)]
+        dd_ = bcast(k, 3)
+        g1 = [bcast(k, 4 + j) for j in range(3)]
+        c1 = bcast(k, 7)
+        g2 = [bcast(k, 8 + j) for j in range(3)]
+        c2 = bcast(k, 11)
+        gid = bcast(k, 12).astype(jnp.int32)
+        ent = bcast(k, 13).astype(jnp.int32)
+
+        cos = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
+        n_o = nrm[0] * o[0] + nrm[1] * o[1] + nrm[2] * o[2]
+        t = (dd_ - n_o) / cos
+        bx = c1 + (g1[0] * o[0] + g1[1] * o[1] + g1[2] * o[2]) \
+            + t * (g1[0] * d[0] + g1[1] * d[1] + g1[2] * d[2])
+        by = c2 + (g2[0] * o[0] + g2[1] * o[1] + g2[2] * o[2]) \
+            + t * (g2[0] * d[0] + g2[1] * d[1] + g2[2] * d[2])
+        bz = 1.0 - bx - by
+
+        ok = (
+            (t >= 0.0)
+            & (t < t_best)
+            & (bx >= 0.0)
+            & (by >= 0.0)
+            & (bz >= 0.0)
+            & (gid != excl_i)
+        )
+        if excl_ent is not None:
+            ok = ok & (ent != excl_ent)
+        if any_hit:
+            t = jnp.zeros_like(t)
+        t_best = jnp.where(ok, t, t_best)
+        i_best = jnp.where(ok, gid, i_best)
+        e_best = jnp.where(ok, ent, e_best)
+    return t_best, i_best, e_best
+
+
 # Keys >= this are "miss" sentinels (chunk can't be hit by this block).
 _MISS = np.float32(1e38)
 # Integrator's dead-lane origin push is 1e30; anything past this is dead.
@@ -108,33 +197,44 @@ def _block_cull_keys(o, d, t_ub_lane, meta, n_chunks, block_n=BLOCK_N):
     (Cpad, 128) chunk rows.  Returns keys: (grid, n_chunks) f32 lower-bound
     entry distances, _MISS where the block cannot usefully hit the chunk.
 
-    The slab test is evaluated in interval arithmetic over the block's live
-    lanes: origins bound by a box, directions by a per-axis interval.  An
-    axis whose direction interval spans zero contributes (-inf, inf) --
-    conservative, never wrong.  Dead lanes (origin pushed past _DEAD by the
-    integrator) are excluded from the bounds; an all-dead block culls every
-    chunk."""
+    The slab test is evaluated in interval arithmetic over each 128-lane
+    SUB-ROW of the block (origins bound by a box, directions by a per-axis
+    interval; an axis whose direction interval spans zero contributes
+    (-inf, inf) -- conservative, never wrong), then OR-reduced to block
+    level: a chunk is a candidate if ANY sub-row's interval crosses it, and
+    the block's sort key is the min over sub-row lower bounds.  The union
+    of 8-16 tight per-row intervals is strictly tighter than one interval
+    over the whole block (the measured block-level interval union admits
+    47% of chunks where the true per-lane OR is 29%; sub-rows recover part
+    of that 1.6x because the coherence sort makes consecutive 128-lane rows
+    spatially compact).  Cost: the interval math runs on a (G*S, C) grid
+    instead of (G, C) -- pure fused VPU elementwise, sub-ms at dragon scale
+    and paid once per launch -- while the (G, C) argsort is unchanged.
+    Dead lanes (origin pushed past _DEAD by the integrator) are excluded
+    from the bounds; an all-dead sub-row culls every chunk."""
     G = o.shape[0] // block_n
-    ob = o.reshape(G, block_n, 3)
-    db = d.reshape(G, block_n, 3)
-    tb = t_ub_lane.reshape(G, block_n)
-    alive = ob[..., 0] < _DEAD  # (G, B)
+    S = block_n // BLOCK[1]  # 128-lane sub-rows per block
+    GS = G * S
+    ob = o.reshape(GS, BLOCK[1], 3)
+    db = d.reshape(GS, BLOCK[1], 3)
+    tb = t_ub_lane.reshape(GS, BLOCK[1])
+    alive = ob[..., 0] < _DEAD  # (GS, 128)
 
     am = alive[..., None]
-    olo = jnp.min(jnp.where(am, ob, BIG), axis=1)  # (G, 3)
+    olo = jnp.min(jnp.where(am, ob, BIG), axis=1)  # (GS, 3)
     ohi = jnp.max(jnp.where(am, ob, -BIG), axis=1)
     dlo = jnp.min(jnp.where(am, db, BIG), axis=1)
     dhi = jnp.max(jnp.where(am, db, -BIG), axis=1)
-    t_ub = jnp.max(jnp.where(alive, tb, -BIG), axis=1)  # (G,)
-    block_alive = jnp.any(alive, axis=1)
+    t_ub = jnp.max(jnp.where(alive, tb, -BIG), axis=1)  # (GS,)
+    row_alive = jnp.any(alive, axis=1)
 
     clo = meta[:n_chunks, 0:3]  # (C, 3)
     chi = meta[:n_chunks, 3:6]
 
-    tmin = jnp.full((G, n_chunks), -BIG)
-    tmax = jnp.full((G, n_chunks), BIG)
+    tmin = jnp.full((GS, n_chunks), -BIG)
+    tmax = jnp.full((GS, n_chunks), BIG)
     for ax in range(3):
-        dl = dlo[:, ax:ax + 1]  # (G, 1)
+        dl = dlo[:, ax:ax + 1]  # (GS, 1)
         dh = dhi[:, ax:ax + 1]
         same_sign = (dl > 0.0) | (dh < 0.0)
         # inv(1/[dl,dh]) = [1/dh, 1/dl] for any same-sign interval.
@@ -143,7 +243,7 @@ def _block_cull_keys(o, d, t_ub_lane, meta, n_chunks, block_n=BLOCK_N):
         il = 1.0 / safe_dh
         ih = 1.0 / safe_dl
         # Numerator intervals for the two slab planes.
-        nlo_lo = clo[None, :, ax] - ohi[:, ax:ax + 1]  # (G, C)
+        nlo_lo = clo[None, :, ax] - ohi[:, ax:ax + 1]  # (GS, C)
         nlo_hi = clo[None, :, ax] - olo[:, ax:ax + 1]
         nhi_lo = chi[None, :, ax] - ohi[:, ax:ax + 1]
         nhi_hi = chi[None, :, ax] - olo[:, ax:ax + 1]
@@ -173,9 +273,10 @@ def _block_cull_keys(o, d, t_ub_lane, meta, n_chunks, block_n=BLOCK_N):
         (tmin <= tmax)
         & (tmax > 0.0)
         & (tmin < t_ub[:, None])
-        & block_alive[:, None]
+        & row_alive[:, None]
     )
-    return jnp.where(hit, tmin, _MISS)
+    keys_rows = jnp.where(hit, tmin, _MISS)  # (GS, C)
+    return jnp.min(keys_rows.reshape(G, S, n_chunks), axis=1)
 
 
 def _block_cull_sort(o, d, t_ub_lane, meta, n_chunks, block_n=BLOCK_N):
@@ -216,7 +317,7 @@ def _block_cull_compact(o, d, t_ub_lane, meta, n_chunks, block_n=BLOCK_N):
 def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                         anyhit: bool, stream: bool, emit_bound: bool = False,
                         has_row_meta: bool = True, block_rows: int = BLOCK[0],
-                        plane_rows: bool = False):
+                        plane_rows: bool = False, rep: bool = False):
     """Kernel factory.  Refs:
       ids (SMEM (1, Cpad)), keys (SMEM (1, Cpad)), meta (VMEM), table
       (ANY=HBM when stream else VMEM), ray blocks... [+ excl_ent, t seeds],
@@ -229,6 +330,10 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
     done test."""
     R = rows_per_chunk
     C = n_chunks
+    # Table rows per 8-triangle row group: 1 compact row, or REP_FIELDS
+    # rows per slot in the replicated layout (read as one vector block).
+    span = PACK_LEAF * REP_FIELDS if rep else 1
+    RT = R * span  # table rows per chunk
     blk = (block_rows, BLOCK[1])
     # per-row AABBs present in meta (and gating enabled); sphere tables
     # don't carry them (has_row_meta=False)
@@ -238,14 +343,14 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
     def kernel(ids_ref, keys_ref, meta_ref, tab_ref, ox, oy, oz, dx, dy, dz,
                excl, *rest):
         if anyhit:
-            eent, tinit = rest[0], rest[1]
-            outs = rest[2:3]
-            extra = rest[3:]
+            eent, tinit, texit = rest[0], rest[1], rest[2]
+            outs = rest[3:4]
+            extra = rest[4:]
         else:
             n_out = 4 if emit_bound else 3
-            tinit = rest[0]
-            outs = rest[1:1 + n_out]
-            extra = rest[1 + n_out:]
+            tinit, texit = rest[0], rest[1]
+            outs = rest[2:2 + n_out]
+            extra = rest[2 + n_out:]
         if stream:
             scratch, sems = extra
         o = (ox[:], oy[:], oz[:])
@@ -254,16 +359,22 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
         excl_i = excl[:]
         excl_e = eent[:] if anyhit else None
         t0 = tinit[:]
+        t_x = texit[:]
         dead = o[0] > _DEAD
 
         def t_cap(tb):
             # Lanes that can no longer improve: dead, or (anyhit) already
             # occluded (t collapsed to 0).  They compare as -BIG so the
-            # all-done early exit ignores them.
+            # all-done early exit ignores them.  Live lanes compare as
+            # min(t_best, root-AABB EXIT distance): every real hit lies
+            # inside the root box, so once the walk's ascending keys pass a
+            # lane's exit distance no remaining chunk can produce a hit for
+            # it -- without this, one through-miss lane (t_best stuck at
+            # BIG) drags its whole block through the entire candidate list.
             done = dead
             if anyhit:
                 done = done | (tb <= 0.0)
-            return jnp.where(done, -BIG, tb)
+            return jnp.where(done, -BIG, jnp.minimum(tb, t_x))
 
         def chunk_id(k):
             return ids_ref[0, 0, k]
@@ -274,8 +385,8 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
         if stream:
             def dma(slot, c):
                 return pltpu.make_async_copy(
-                    tab_ref.at[pl.ds(c * R, R), :],
-                    scratch.at[pl.ds(slot * R, R), :],
+                    tab_ref.at[pl.ds(c * RT, RT), :],
+                    scratch.at[pl.ds(slot * RT, RT), :],
                     sems.at[slot],
                 )
 
@@ -290,8 +401,8 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
 
         def read_row(slot, c, r):
             if stream:
-                return scratch[pl.ds(slot * R + r, 1), :]
-            return tab_ref[pl.ds(c * R + r, 1), :]
+                return scratch[pl.ds(slot * RT + r * span, span), :]
+            return tab_ref[pl.ds(c * RT + r * span, span), :]
 
         key0 = chunk_key(0)
         if stream:
@@ -435,7 +546,8 @@ PHASE1_K = 64
 def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
                    rows_per_chunk, row_test, anyhit, stream, excl_ent=None,
                    interpret=False, two_phase=None, has_row_meta=True,
-                   block_rows=BLOCK[0], plane_rows=False, lane_sort=True):
+                   block_rows=BLOCK[0], plane_rows=False, lane_sort=True,
+                   rep=False):
     """Shared launch: coherence sort, pad, block cull + order, pallas_call,
     unsort.  t_seed is t_init (closest) or t_max (anyhit).
 
@@ -488,19 +600,26 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
     rtmax = jnp.min(rtx, axis=1)
     root_hit = (rtmin < rtmax) & (rtmax > 0.0) & (rtmin < t_seed)
     o = jnp.where(root_hit[:, None], o, 1e30)
+    # Per-lane hit upper bound for the kernel's early-exit test: every real
+    # hit lies inside the (enlarged) root box, so no hit can have t past
+    # the lane's exit distance.  The 1e-3 box enlargement above dwarfs f32
+    # rounding in rtmax; the extra 1.0001 keeps the bound conservative.
+    t_exit = jnp.where(root_hit, rtmax * 1.0001, 0.0)
 
     perm = None
     if lane_sort and N >= _SORT_MIN_N:
         perm = _coherence_perm(o, d, lo, hi, octant_major=True)
-        cols = [o, d, excl_idx.astype(jnp.float32)[:, None], t_seed[:, None]]
+        cols = [o, d, excl_idx.astype(jnp.float32)[:, None], t_seed[:, None],
+                t_exit[:, None]]
         if anyhit:
             cols.append(excl_ent.astype(jnp.float32)[:, None])
         packed = jnp.take(jnp.concatenate(cols, axis=1), perm, axis=0)
         o, d = packed[:, 0:3], packed[:, 3:6]
         excl_idx = packed[:, 6].astype(jnp.int32)
         t_seed = packed[:, 7]
+        t_exit = packed[:, 8]
         if anyhit:
-            excl_ent = packed[:, 8].astype(jnp.int32)
+            excl_ent = packed[:, 9].astype(jnp.int32)
 
     # Pad (dead fill: origin past _DEAD so the cull ignores the lane).
     def cat(x, fill):
@@ -509,10 +628,12 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
     o_p = cat(o, 1e30)
     d_p = cat(d, 1.0)
     t_p = cat(t_seed, 0.0)
+    tx_p = cat(t_exit, 0.0)
     excl_p = cat(excl_idx, jnp.int32(-1))
     eent_p = cat(excl_ent.astype(jnp.int32), jnp.int32(-1)) if anyhit else None
 
-    def run(ids, keys, n_c, o_, d_, excl_, t_, eent_=None, emit_bound=False):
+    def run(ids, keys, n_c, o_, d_, excl_, t_, tx_, eent_=None,
+            emit_bound=False):
         """One pallas_call over padded lane arrays with a given chunk
         order."""
         cpad = -(-n_c // 8) * 8
@@ -532,6 +653,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         if anyhit:
             args.append(eent_.reshape(grid * block_rows, BLOCK[1]))
         args.append(t_.reshape(grid * block_rows, BLOCK[1]))
+        args.append(tx_.reshape(grid * block_rows, BLOCK[1]))
 
         # SMEM rows ride as (grid, 1, cpad) so the block's trailing two dims
         # equal the array's (a Mosaic block-shape requirement); each program
@@ -544,16 +666,19 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
                                 memory_space=pltpu.SMEM)
         meta_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         tab_spec = pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM)
+        span = PACK_LEAF * REP_FIELDS if rep else 1
         scratch_shapes = []
         if stream:
             scratch_shapes = [
-                pltpu.VMEM((STREAM_NBUF * rows_per_chunk, 128), jnp.float32),
+                pltpu.VMEM(
+                    (STREAM_NBUF * rows_per_chunk * span, 128), jnp.float32
+                ),
                 pltpu.SemaphoreType.DMA((STREAM_NBUF,)),
             ]
 
         kernel = _make_sorted_kernel(n_c, rows_per_chunk, row_test, anyhit,
                                      stream, emit_bound, has_row_meta,
-                                     block_rows, plane_rows)
+                                     block_rows, plane_rows, rep)
         fshape = jax.ShapeDtypeStruct((grid * block_rows, BLOCK[1]), jnp.float32)
         ishape = jax.ShapeDtypeStruct((grid * block_rows, BLOCK[1]), jnp.int32)
         if anyhit:
@@ -587,7 +712,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
 
     if anyhit:
         ids, keys = _block_cull_sort(o_p, d_p, t_p, meta, n_chunks, block_n)
-        res = run(ids, keys, n_chunks, o_p, d_p, excl_p, t_p, eent_p)
+        res = run(ids, keys, n_chunks, o_p, d_p, excl_p, t_p, tx_p, eent_p)
         t_out = res.reshape(npad)[:N]
         if perm is not None:
             t_out = jnp.zeros_like(t_out).at[perm].set(t_out)
@@ -595,7 +720,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
 
     if not two_phase:
         ids, keys = _block_cull_sort(o_p, d_p, t_p, meta, n_chunks, block_n)
-        res = run(ids, keys, n_chunks, o_p, d_p, excl_p, t_p)
+        res = run(ids, keys, n_chunks, o_p, d_p, excl_p, t_p, tx_p)
         t_out, i_out, e_out = res
         t_out = t_out.reshape(npad)[:N]
         i_out = i_out.reshape(npad)[:N]
@@ -604,7 +729,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         K = min(PHASE1_K, n_chunks)
         ids1, keys1 = _block_cull_topk(o_p, d_p, t_p, meta, n_chunks, K,
                                        block_n)
-        t1, i1, e1, bound = run(ids1, keys1, K, o_p, d_p, excl_p, t_p,
+        t1, i1, e1, bound = run(ids1, keys1, K, o_p, d_p, excl_p, t_p, tx_p,
                                 emit_bound=True)
         t1 = t1.reshape(npad)
         i1 = i1.reshape(npad)
@@ -616,8 +741,11 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         dead = o_p[:, 0] > _DEAD
         # bound >= _MISS: the walk exhausted every candidate -- anything
         # unvisited was culled as unhittable, so the lane is done even at
-        # t_eff == BIG (a miss lane with no candidates left).
-        done = dead | (t_eff <= bound) | (bound >= _MISS)
+        # t_eff == BIG (a miss lane with no candidates left).  bound >=
+        # t_exit: every unvisited chunk starts past the lane's root-box
+        # exit, so a through-miss lane is provably done without exhausting
+        # the candidates (the failure mode that made two-phase lose).
+        done = dead | (t_eff <= bound) | (bound >= _MISS) | (bound >= tx_p)
 
         # Compact stragglers to the front; done lanes pack into all-done
         # blocks that cull every chunk and exit the walk instantly.
@@ -628,6 +756,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
                     o_p, d_p,
                     excl_p.astype(jnp.float32)[:, None],
                     t_eff[:, None],
+                    tx_p[:, None],
                     t1[:, None],
                     i1.astype(jnp.float32)[:, None],
                     e1.astype(jnp.float32)[:, None],
@@ -642,10 +771,11 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         d2 = packed2[:, 3:6]
         excl2 = packed2[:, 6].astype(jnp.int32)
         t_eff2 = packed2[:, 7]
+        tx2 = packed2[:, 8]
 
         ids2, keys2 = _block_cull_compact(o2, d2, t_eff2, meta, n_chunks,
                                           block_n)
-        t2, i2, e2 = run(ids2, keys2, n_chunks, o2, d2, excl2, t_eff2)
+        t2, i2, e2 = run(ids2, keys2, n_chunks, o2, d2, excl2, t_eff2, tx2)
         t2 = t2.reshape(npad)
         i2 = i2.reshape(npad)
         e2 = e2.reshape(npad)
@@ -653,10 +783,10 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         # Merge: phase 2 beat the phase-1 best, else phase 1 beat the
         # original seed, else BIG (the caller's "no triangle hit" contract).
         hit2 = t2 < BIG
-        hit1 = packed2[:, 8] < BIG
-        t_m = jnp.where(hit2, t2, jnp.where(hit1, packed2[:, 8], BIG))
-        i_m = jnp.where(hit2, i2, packed2[:, 9].astype(jnp.int32))
-        e_m = jnp.where(hit2, e2, packed2[:, 10].astype(jnp.int32))
+        hit1 = packed2[:, 9] < BIG
+        t_m = jnp.where(hit2, t2, jnp.where(hit1, packed2[:, 9], BIG))
+        i_m = jnp.where(hit2, i2, packed2[:, 10].astype(jnp.int32))
+        e_m = jnp.where(hit2, e2, packed2[:, 11].astype(jnp.int32))
 
         # Undo the straggler compaction.
         packed_u = jnp.stack(
@@ -681,33 +811,42 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
 def closest_hit_sorted(ct, n_chunks, o, d, excl_idx, t_init,
                        rows_per_chunk=ROWS_PER_CHUNK_SORTED, stream=True,
                        interpret=False, two_phase=None,
-                       block_rows=None, lane_sort=True):
+                       block_rows=None, lane_sort=True, rep=False):
     """Closest triangle hit via sorted (front-to-back) chunk traversal.
     Same contract as pallas_traverse.closest_hit_chunked: (t, idx, ent),
     t == BIG where nothing beat t_init.  stream=True keeps the triangle
     table in HBM (DMA'd per chunk); stream=False requires it VMEM-resident.
     two_phase: opt IN to the straggler-compacted two-phase walk (measured
-    slower than the single walk on this chip; off by default)."""
+    slower than the single walk on this chip; off by default).
+    rep=True streams the field-replicated table (ct.tris_rep) so the row
+    test runs scalar-free -- requires stream=True and a packed tris_rep."""
+    rep = rep and stream and ct.tris_rep is not None
     return _launch_sorted(
-        ct.chunk_meta, ct.tris, o, d, excl_idx, t_init, n_chunks,
-        rows_per_chunk, _tri_row_test_v2, anyhit=False, stream=stream,
+        ct.chunk_meta, ct.tris_rep if rep else ct.tris, o, d, excl_idx,
+        t_init, n_chunks, rows_per_chunk,
+        _tri_row_test_rep if rep else _tri_row_test_v2,
+        anyhit=False, stream=stream,
         interpret=interpret, two_phase=two_phase,
         block_rows=block_rows or BLOCK[0], plane_rows=True,
-        lane_sort=lane_sort,
+        lane_sort=lane_sort, rep=rep,
     )
 
 
 def occludes_sorted(ct, n_chunks, o, d, excl_idx, excl_ent, t_max,
                     rows_per_chunk=ROWS_PER_CHUNK_SORTED, stream=True,
-                    interpret=False, block_rows=None, lane_sort=True):
+                    interpret=False, block_rows=None, lane_sort=True,
+                    rep=False):
     """Any-hit occlusion via sorted chunk traversal (early exit as soon as
     every live lane is occluded or out of candidate chunks)."""
+    rep = rep and stream and ct.tris_rep is not None
     return _launch_sorted(
-        ct.chunk_meta, ct.tris, o, d, excl_idx, t_max, n_chunks,
-        rows_per_chunk, _tri_row_test_v2, anyhit=True, stream=stream,
+        ct.chunk_meta, ct.tris_rep if rep else ct.tris, o, d, excl_idx,
+        t_max, n_chunks, rows_per_chunk,
+        _tri_row_test_rep if rep else _tri_row_test_v2,
+        anyhit=True, stream=stream,
         excl_ent=excl_ent, interpret=interpret,
         block_rows=block_rows or BLOCK[0], plane_rows=True,
-        lane_sort=lane_sort,
+        lane_sort=lane_sort, rep=rep,
     )
 
 

@@ -279,6 +279,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
     ptris = None
     pallas_tri_chunks = 0
     pallas_tri_stream = False
+    pallas_tri_rep = False
     pallas_tri_rows = 8
     pallas_block_rows = 8
     if tri_chunks:
@@ -324,6 +325,21 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
                     ptris.tris.shape[0] + ptris.chunk_meta.shape[0]
                 ) * 128 * 4
                 pallas_tri_stream = resident_bytes >= PT.VMEM_LIMIT_BYTES
+                # Opt-in (PATHS_TPU_TRI_REP=1): streamed kernels read the
+                # field-replicated table -- triangle constants as lane-wide
+                # vector rows instead of scalar splats.  Measured NET
+                # NEUTRAL on TPU v5e (dragon-scale: closest-hit 456->432 ms
+                # but occlusion 342->376 ms; the (1,128)->(block,128)
+                # sublane broadcasts materialize vregs and cost what the
+                # splats did) -- the walk is VPU-flop-bound on pair tests,
+                # not splat-bound, so the default stays the compact table.
+                if pallas_tri_stream and _os.environ.get(
+                    "PATHS_TPU_TRI_REP", "0"
+                ) == "1":
+                    ptris = ptris._replace(
+                        tris_rep=STV.replicate_tris(ptris.tris)
+                    )
+                    pallas_tri_rep = True
                 # Wider ray blocks amortize the scalar-bound row test on
                 # big (streamed) meshes, where incoherent bounce waves
                 # dominate; small resident meshes keep the finer early
@@ -420,6 +436,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         has_fresnel=has_fresnel,
         pallas_tri_chunks=pallas_tri_chunks,
         pallas_tri_stream=pallas_tri_stream,
+        pallas_tri_rep=pallas_tri_rep,
         pallas_tri_rows=pallas_tri_rows,
         pallas_block_rows=pallas_block_rows,
         pallas_sph_chunks=pallas_sph_chunks,

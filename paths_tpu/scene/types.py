@@ -130,6 +130,11 @@ class SceneStatic:
     pallas_tri_chunks: int = 0
     pallas_tri_stream: bool = False
     pallas_tri_rows: int = 8
+    # Streamed kernels read the field-replicated triangle table (each
+    # constant pre-broadcast across lanes -- scalar-unit-free row test;
+    # ops/sorted_traverse.replicate_tris).  Only meaningful with
+    # pallas_tri_stream; the fat table only pays on big meshes.
+    pallas_tri_rep: bool = False
     # Ray-block sublane count for the sorted kernels.  The row test is
     # scalar-broadcast-bound (~84% of its cost is per-row scalar splats),
     # so wider blocks amortize it across more lanes; the candidate-union

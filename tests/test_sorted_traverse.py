@@ -123,6 +123,36 @@ def test_occludes_sorted_matches_bruteforce(packed_soup, rays, stream):
     )
     np.testing.assert_array_equal(np.asarray(occ), occ_ref)
 
+def test_replicated_layout_bit_identical(packed_soup, rays):
+    """Opt-in field-replicated table (PATHS_TPU_TRI_REP): identical math,
+    different constant delivery -- results must be BIT-identical to the
+    compact layout for both kernels."""
+    from paths_tpu.ops.sorted_traverse import replicate_tris
+
+    ct, n_chunks, *_ = packed_soup
+    ct = ct._replace(tris_rep=replicate_tris(ct.tris))
+    o, d, excl = rays
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    excl_j = jnp.asarray(excl)
+    t_init = jnp.full(o.shape[0], BIG, jnp.float32)
+
+    a = closest_hit_sorted(ct, n_chunks, oj, dj, excl_j, t_init,
+                           stream=True, interpret=True, rep=False)
+    b = closest_hit_sorted(ct, n_chunks, oj, dj, excl_j, t_init,
+                           stream=True, interpret=True, rep=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    t_max = jnp.full(o.shape[0], 5.0, jnp.float32)
+    eent = jnp.full(o.shape[0], -1, jnp.int32)
+    oa = occludes_sorted(ct, n_chunks, oj, dj, excl_j, eent, t_max,
+                         stream=True, interpret=True, rep=False)
+    ob = occludes_sorted(ct, n_chunks, oj, dj, excl_j, eent, t_max,
+                         stream=True, interpret=True, rep=True)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+    assert np.asarray(oa).sum() > 0
+
+
 def test_two_phase_matches_single_phase(packed_soup, rays):
     """Opt-in straggler-compacted walk == single front-to-back walk on the
     same soup/rays the brute-force parity test uses (incl. dead lanes and
