@@ -41,6 +41,8 @@ def _load() -> ctypes.CDLL | None:
         # import this module simultaneously; two g++ links writing the same
         # .so in place can hand one of them a half-written library).
         try:
+            # fcntl is POSIX-only; a platform without it must fall through
+            # to the graceful no-native path, not raise out of _load().
             import fcntl
 
             with open(os.path.join(_DIR, ".build.lock"), "w") as lockf:
@@ -55,7 +57,7 @@ def _load() -> ctypes.CDLL | None:
                     )
                 finally:
                     fcntl.flock(lockf, fcntl.LOCK_UN)
-        except (subprocess.SubprocessError, OSError):
+        except (subprocess.SubprocessError, OSError, ImportError):
             if not os.path.exists(_LIB_PATH):
                 _build_failed = True
                 return None

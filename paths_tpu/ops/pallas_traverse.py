@@ -980,6 +980,94 @@ def closest_hit_spheres(cs: ChunkedTris, n_chunks: int, o, d, excl_idx, t_init,
     )
 
 
+# Largest sphere-table row count the FLAT kernel handles (64 rows = 1024
+# spheres).  Opt-in via PATHS_TPU_SPH_FLAT=1 (see the dispatch in
+# sorted_traverse).  Measured on TPU v5e, stress-500 (32 rows), 345k
+# fully incoherent lanes: flat 26.5 ms/launch vs the sorted walk's 29 ms
+# presorted / 45 ms with lane sort -- i.e. the walk's machinery costs
+# little, and on REAL (coherent) waves its cull + early exit win
+# end-to-end (5.66e6 vs 4.61e6 rays/s on the stress tier), so flat stays
+# opt-in.  The 26.5 ms also calibrates the VPU: ~46 elem-ops/slot at
+# ~2e12 elem-ops/s effective -- the sphere kernels are compute-bound.
+SPH_FLAT_MAX_ROWS = 64
+
+
+def _make_flat_sphere_kernel(n_rows: int, anyhit: bool):
+    def kernel(tab_ref, ox, oy, oz, dx, dy, dz, excl, *rest):
+        if anyhit:
+            eent, tinit = rest[0], rest[1]
+            outs = rest[2:]
+        else:
+            tinit = rest[0]
+            outs = rest[1:]
+        o = (ox[:], oy[:], oz[:])
+        d = (dx[:], dy[:], dz[:])
+        excl_i = excl[:]
+        ee = eent[:] if anyhit else None
+        t0 = tinit[:]
+        tb = t0
+        ib = jnp.zeros(BLOCK, jnp.int32)
+        eb = jnp.zeros(BLOCK, jnp.int32)
+        for r in range(n_rows):
+            sr = tab_ref[pl.ds(r, 1), :]
+            tb, ib, eb = _sphere_row_test(
+                sr, o, d, excl_i, tb, ib, eb, excl_ent=ee, any_hit=anyhit
+            )
+        if anyhit:
+            outs[0][:] = tb
+        else:
+            outs[0][:] = jnp.where(tb < t0, tb, BIG)
+            outs[1][:] = ib
+            outs[2][:] = eb
+
+    return kernel
+
+
+def _launch_flat_spheres(table, o, d, excl_idx, t_seed, anyhit,
+                         excl_ent=None, interpret=False):
+    """Flat unrolled sphere launch: no lane sort (nothing to cull, so ray
+    order is irrelevant), no meta.  Dead lanes (origin 1e30) miss through
+    arithmetic (disc -> NaN fails every comparison)."""
+    N = o.shape[0]
+    npad = -(-N // BLOCK_N) * BLOCK_N
+    grid = npad // BLOCK_N
+
+    o = lax.stop_gradient(o)
+    d = lax.stop_gradient(d)
+    t_seed = lax.stop_gradient(t_seed.astype(jnp.float32))
+    excl_idx = excl_idx.astype(jnp.int32)
+
+    def prep(x, fill):
+        x = jnp.concatenate([x, jnp.full(npad - N, fill, x.dtype)]) if npad != N else x
+        return x.reshape(grid * BLOCK[0], BLOCK[1])
+
+    args = [
+        prep(o[:, 0], 1e30), prep(o[:, 1], 1e30), prep(o[:, 2], 1e30),
+        prep(d[:, 0], 1.0), prep(d[:, 1], 1.0), prep(d[:, 2], 1.0),
+        prep(excl_idx, -1),
+    ]
+    if anyhit:
+        args.append(prep(excl_ent.astype(jnp.int32), -1))
+    args.append(prep(t_seed, 0.0))
+
+    ray_spec = pl.BlockSpec(BLOCK, lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fshape = jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.float32)
+    ishape = jax.ShapeDtypeStruct((grid * BLOCK[0], BLOCK[1]), jnp.int32)
+    res = pl.pallas_call(
+        _make_flat_sphere_kernel(table.shape[0], anyhit),
+        grid=(grid,),
+        in_specs=[tab_spec] + [ray_spec] * len(args),
+        out_specs=ray_spec if anyhit else (ray_spec,) * 3,
+        out_shape=fshape if anyhit else (fshape, ishape, ishape),
+        interpret=interpret,
+    )(table, *args)
+    if anyhit:
+        return res.reshape(npad)[:N] == 0.0
+    t, i, e = res
+    return t.reshape(npad)[:N], i.reshape(npad)[:N], e.reshape(npad)[:N]
+
+
 def closest_hit_packet(pt: PackedBvh, o, d, excl_idx, t_init, interpret=False):
     """Closest triangle hit for N rays via VMEM packet traversal.
 

@@ -860,12 +860,31 @@ def closest_hit_spheres_sorted(cs, n_chunks, o, d, excl_idx, t_init,
                                rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
                                interpret=False, block_rows=None,
                                lane_sort=True):
-    """Closest sphere hit via the sorted chunk walk (same machinery as the
-    triangle kernels: conservative block cull, front-to-back order, early
-    exit, root-AABB lane cull) over pack_spheres_chunked tables.  Replaces
-    the linear all-chunks scan (closest_hit_spheres): on the stress-500
-    scene the linear kernel brute-forces every sphere for every lane.
-    Sphere tables are tiny -- always VMEM-resident."""
+    """Closest sphere hit over pack_spheres_chunked tables.  Default: the
+    sorted chunk walk (conservative block cull, front-to-back order, early
+    exit, root-AABB lane cull), same machinery as the triangle kernels.
+    Sphere tables are tiny -- always VMEM-resident.
+
+    PATHS_TPU_SPH_FLAT=1 dispatches small tables (<= SPH_FLAT_MAX_ROWS
+    rows) to the FLAT unrolled kernel instead (no cull, no sort, no
+    conds).  Measured on TPU v5e stress-500: flat wins per-launch on a
+    fully incoherent wave (26.5 vs 29 ms presorted / 45 ms with lane
+    sort) but LOSES end-to-end (4.61e6 vs 5.66e6 rays/s at 8spp) -- real
+    waves are coherent enough that the walk's cull + front-to-back early
+    exit saves more than its machinery costs.  Kept opt-in as the
+    measured baseline of the walk's overhead."""
+    import os
+
+    from paths_tpu.ops.pallas_traverse import (
+        SPH_FLAT_MAX_ROWS, _launch_flat_spheres,
+    )
+
+    if (os.environ.get("PATHS_TPU_SPH_FLAT") == "1"
+            and cs.tris.shape[0] <= SPH_FLAT_MAX_ROWS):
+        return _launch_flat_spheres(
+            cs.tris, o, d, excl_idx, t_init, anyhit=False,
+            interpret=interpret,
+        )
     return _launch_sorted(
         cs.chunk_meta, cs.tris, o, d, excl_idx, t_init, n_chunks,
         rows_per_chunk, _sphere_row_test, anyhit=False, stream=False,
@@ -878,7 +897,20 @@ def occludes_spheres_sorted(cs, n_chunks, o, d, excl_idx, excl_ent, t_max,
                             rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
                             interpret=False, block_rows=None,
                             lane_sort=True):
-    """Any-hit sphere occlusion via the sorted chunk walk."""
+    """Any-hit sphere occlusion; same opt-in flat dispatch as
+    closest_hit_spheres_sorted."""
+    import os
+
+    from paths_tpu.ops.pallas_traverse import (
+        SPH_FLAT_MAX_ROWS, _launch_flat_spheres,
+    )
+
+    if (os.environ.get("PATHS_TPU_SPH_FLAT") == "1"
+            and cs.tris.shape[0] <= SPH_FLAT_MAX_ROWS):
+        return _launch_flat_spheres(
+            cs.tris, o, d, excl_idx, t_max, anyhit=True,
+            excl_ent=excl_ent, interpret=interpret,
+        )
     return _launch_sorted(
         cs.chunk_meta, cs.tris, o, d, excl_idx, t_max, n_chunks,
         rows_per_chunk, _sphere_row_test, anyhit=True, stream=False,

@@ -153,6 +153,56 @@ def test_replicated_layout_bit_identical(packed_soup, rays):
     assert np.asarray(oa).sum() > 0
 
 
+def test_flat_sphere_kernel_matches_sorted():
+    """Opt-in flat unrolled sphere kernel (PATHS_TPU_SPH_FLAT) == sorted
+    walk, bit-for-bit, incl. dead lanes, exclusions and any-hit."""
+    from paths_tpu.ops.pallas_traverse import (
+        _launch_flat_spheres, _sphere_row_test, pack_spheres_chunked,
+    )
+    from paths_tpu.ops.sorted_traverse import (
+        SPH_ROWS_PER_CHUNK_SORTED, _launch_sorted,
+    )
+
+    rng = np.random.default_rng(11)
+    S = 60
+    centers = rng.uniform(-2, 2, (S, 3))
+    radii = rng.uniform(0.05, 0.4, S)
+    ents = (np.arange(S) % 7).astype(np.int64)
+    cs, n_chunks, _ = pack_spheres_chunked(
+        centers, radii, ent=ents, rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED
+    )
+
+    N = 700
+    o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    o[100:150] = 1e30  # dead lanes
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    excl = np.full(N, -1, np.int32)
+    excl[:80] = rng.integers(0, S, 80)
+    oj, dj, ej = jnp.asarray(o), jnp.asarray(d), jnp.asarray(excl)
+    t0 = jnp.full(N, BIG, jnp.float32)
+
+    a = _launch_flat_spheres(cs.tris, oj, dj, ej, t0, anyhit=False,
+                             interpret=True)
+    b = _launch_sorted(cs.chunk_meta, cs.tris, oj, dj, ej, t0, n_chunks,
+                       SPH_ROWS_PER_CHUNK_SORTED, _sphere_row_test,
+                       anyhit=False, stream=False, has_row_meta=False,
+                       interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert (np.asarray(a[0]) < 1e38).sum() > 0
+
+    eent = jnp.asarray(rng.integers(-1, 7, N).astype(np.int32))
+    tmx = jnp.full(N, 5.0, jnp.float32)
+    oa = _launch_flat_spheres(cs.tris, oj, dj, ej, tmx, anyhit=True,
+                              excl_ent=eent, interpret=True)
+    ob = _launch_sorted(cs.chunk_meta, cs.tris, oj, dj, ej, tmx, n_chunks,
+                        SPH_ROWS_PER_CHUNK_SORTED, _sphere_row_test,
+                        anyhit=True, stream=False, excl_ent=eent,
+                        has_row_meta=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
 def test_two_phase_matches_single_phase(packed_soup, rays):
     """Opt-in straggler-compacted walk == single front-to-back walk on the
     same soup/rays the brute-force parity test uses (incl. dead lanes and
