@@ -335,7 +335,10 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
             interpret=static.pallas_interpret,
             block_rows=static.pallas_block_rows,
             lane_sort=not static.wave_presorted,
-            rep=static.pallas_tri_rep,
+            # rep is closest-hit-only: the replicated table measured SLOWER
+            # for the any-hit walk (342 -> 376 ms at dragon scale) -- its
+            # shorter walks leave the extra DMA volume exposed.
+            rep=False,
         )
     return occ
 

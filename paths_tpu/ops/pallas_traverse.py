@@ -445,12 +445,13 @@ def _tri_row_test_v2(tr, o, d, excl_i, t_best, i_best, e_best,
             + t * (g2[0] * d[0] + g2[1] * d[1] + g2[2] * d[2])
         bz = 1.0 - bx - by
 
+        # t>=0 & bx>=0 & by>=0 & bz>=0 composed as one min-tree compare
+        # (3 mins + 1 cmp vs 4 cmps + 3 ands; XLA min propagates NaN, so a
+        # parallel ray's t = NaN still fails -- identical semantics, fewer
+        # VPU ops in the flop-bound walk).
         ok = (
-            (t >= 0.0)
+            (jnp.minimum(jnp.minimum(t, bx), jnp.minimum(by, bz)) >= 0.0)
             & (t < t_best)
-            & (bx >= 0.0)
-            & (by >= 0.0)
-            & (bz >= 0.0)
             & (gid != excl_i)
         )
         if excl_ent is not None:

@@ -164,12 +164,11 @@ def _tri_row_test_rep(grp, o, d, excl_i, t_best, i_best, e_best,
             + t * (g2[0] * d[0] + g2[1] * d[1] + g2[2] * d[2])
         bz = 1.0 - bx - by
 
+        # Same min-composed mask as _tri_row_test_v2 (identical semantics,
+        # fewer VPU ops; XLA min propagates NaN).
         ok = (
-            (t >= 0.0)
+            (jnp.minimum(jnp.minimum(t, bx), jnp.minimum(by, bz)) >= 0.0)
             & (t < t_best)
-            & (bx >= 0.0)
-            & (by >= 0.0)
-            & (bz >= 0.0)
             & (gid != excl_i)
         )
         if excl_ent is not None:

@@ -325,17 +325,18 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
                     ptris.tris.shape[0] + ptris.chunk_meta.shape[0]
                 ) * 128 * 4
                 pallas_tri_stream = resident_bytes >= PT.VMEM_LIMIT_BYTES
-                # Opt-in (PATHS_TPU_TRI_REP=1): streamed kernels read the
-                # field-replicated table -- triangle constants as lane-wide
-                # vector rows instead of scalar splats.  Measured NET
-                # NEUTRAL on TPU v5e (dragon-scale: closest-hit 456->432 ms
-                # but occlusion 342->376 ms; the (1,128)->(block,128)
-                # sublane broadcasts materialize vregs and cost what the
-                # splats did) -- the walk is VPU-flop-bound on pair tests,
-                # not splat-bound, so the default stays the compact table.
+                # Streamed meshes also carry the field-replicated table:
+                # triangle constants as lane-wide vector rows instead of
+                # scalar splats.  Measured on TPU v5e at dragon scale:
+                # CLOSEST-HIT wins (456 -> 432 ms; the splat stream and
+                # the vector stream dual-issue, and at block_rows=16 the
+                # scalar side is the longer pole) while OCCLUSION loses
+                # (342 -> 376 ms), so the integrator uses it for
+                # closest-hit only.  ~2 GB HBM at 200k tris, built on
+                # device.  PATHS_TPU_TRI_REP=0 opts out.
                 if pallas_tri_stream and _os.environ.get(
-                    "PATHS_TPU_TRI_REP", "0"
-                ) == "1":
+                    "PATHS_TPU_TRI_REP", "1"
+                ) != "0":
                     ptris = ptris._replace(
                         tris_rep=STV.replicate_tris(ptris.tris)
                     )
