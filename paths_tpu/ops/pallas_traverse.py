@@ -209,6 +209,12 @@ class ChunkedTris(NamedTuple):
     # never touches the scalar unit; sorted_traverse.replicate_tris).
     # None when the scene doesn't use the replicated layout.
     tris_rep: "jnp.ndarray | None" = None
+    # (T,) int32 gid -> entity map.  Closest-hit kernels skip the
+    # in-kernel ent broadcast + select per slot and the launcher resolves
+    # ent = tri_ent[gid] with ONE gather after the walk (exact: the
+    # packed slot ent IS this map's value).  Occlusion kernels still read
+    # ent in-kernel (the excl_ent test needs it per slot).
+    tri_ent: "jnp.ndarray | None" = None
 
 
 def _pack_tri_rows_plane(flat, v0, v1, v2, n, ent, centers,
@@ -330,9 +336,12 @@ def pack_chunked(flat, v0, v1, v2, n, ent=None,
                        0.5 * (meta[:, 0:3] + meta[:, 3:6]), 0.0)
     tris = _pack_tri_rows_plane(flat, v0, v1, v2, n, ent,
                                 centers, rows_per_chunk, rpad)
+    ent_arr = (np.zeros(max(T, 1), np.int32) if ent is None
+               else np.asarray(ent, np.int32))
     return ChunkedTris(
         tris=jnp.asarray(tris_pad(tris)),
         chunk_meta=jnp.asarray(tris_pad(meta)),
+        tri_ent=jnp.asarray(ent_arr),
     ), n_chunks
 
 
@@ -408,7 +417,7 @@ def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best,
 
 
 def _tri_row_test_v2(tr, o, d, excl_i, t_best, i_best, e_best,
-                     excl_ent=None, any_hit=False):
+                     excl_ent=None, any_hit=False, track_ent=True):
     """Plane-form row test over _pack_tri_rows_plane slots.  `o` MUST be the
     ray origin pre-shifted by the chunk center the row was packed against
     (the caller computes osh = o - 0.5*(meta lo + hi) once per chunk).
@@ -434,7 +443,7 @@ def _tri_row_test_v2(tr, o, d, excl_i, t_best, i_best, e_best,
         g2 = [bcast(s + 8 + j) for j in range(3)]
         c2 = bcast(s + 11)
         gid = tr[0, s + 12].astype(jnp.int32)
-        ent = tr[0, s + 14].astype(jnp.int32)
+        ent = tr[0, s + 14].astype(jnp.int32) if track_ent else None
 
         cos = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
         n_o = nrm[0] * o[0] + nrm[1] * o[1] + nrm[2] * o[2]
@@ -460,7 +469,8 @@ def _tri_row_test_v2(tr, o, d, excl_i, t_best, i_best, e_best,
             t = jnp.zeros_like(t)
         t_best = jnp.where(ok, t, t_best)
         i_best = jnp.where(ok, gid, i_best)
-        e_best = jnp.where(ok, ent, e_best)
+        if track_ent:
+            e_best = jnp.where(ok, ent, e_best)
     return t_best, i_best, e_best
 
 

@@ -132,7 +132,7 @@ def replicate_tris(tris: jnp.ndarray) -> jnp.ndarray:
 
 
 def _tri_row_test_rep(grp, o, d, excl_i, t_best, i_best, e_best,
-                      excl_ent=None, any_hit=False):
+                      excl_ent=None, any_hit=False, track_ent=True):
     """_tri_row_test_v2 over a replicated row GROUP: `grp` is the
     (PACK_LEAF * REP_FIELDS, 128) block of one 8-triangle row, each field a
     lane-replicated (1,128) row.  Identical math and semantics to
@@ -153,7 +153,7 @@ def _tri_row_test_rep(grp, o, d, excl_i, t_best, i_best, e_best,
         g2 = [bcast(k, 8 + j) for j in range(3)]
         c2 = bcast(k, 11)
         gid = bcast(k, 12).astype(jnp.int32)
-        ent = bcast(k, 13).astype(jnp.int32)
+        ent = bcast(k, 13).astype(jnp.int32) if track_ent else None
 
         cos = nrm[0] * d[0] + nrm[1] * d[1] + nrm[2] * d[2]
         n_o = nrm[0] * o[0] + nrm[1] * o[1] + nrm[2] * o[2]
@@ -177,7 +177,8 @@ def _tri_row_test_rep(grp, o, d, excl_i, t_best, i_best, e_best,
             t = jnp.zeros_like(t)
         t_best = jnp.where(ok, t, t_best)
         i_best = jnp.where(ok, gid, i_best)
-        e_best = jnp.where(ok, ent, e_best)
+        if track_ent:
+            e_best = jnp.where(ok, ent, e_best)
     return t_best, i_best, e_best
 
 
@@ -546,7 +547,7 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
                    rows_per_chunk, row_test, anyhit, stream, excl_ent=None,
                    interpret=False, two_phase=None, has_row_meta=True,
                    block_rows=BLOCK[0], plane_rows=False, lane_sort=True,
-                   rep=False):
+                   rep=False, ent_map=None):
     """Shared launch: coherence sort, pad, block cull + order, pallas_call,
     unsort.  t_seed is t_init (closest) or t_max (anyhit).
 
@@ -796,6 +797,14 @@ def _launch_sorted(meta, table, o, d, excl_idx, t_seed, n_chunks,
         i_out = restored2[:N, 1].astype(jnp.int32)
         e_out = restored2[:N, 2].astype(jnp.int32)
 
+    if ent_map is not None:
+        # The kernel ran with track_ent=False (two fewer ops per slot in
+        # the flop-bound walk); resolve ent = map[gid] with one gather --
+        # exact: the packed slot ent IS this map's value, and misses keep
+        # the kernel contract's e == 0.
+        e_out = jnp.where(
+            t_out < BIG, jnp.take(ent_map, i_out), jnp.int32(0)
+        )
     if perm is not None:
         packed_out = jnp.stack(
             [t_out, i_out.astype(jnp.float32), e_out.astype(jnp.float32)], 1
@@ -819,15 +828,25 @@ def closest_hit_sorted(ct, n_chunks, o, d, excl_idx, t_init,
     slower than the single walk on this chip; off by default).
     rep=True streams the field-replicated table (ct.tris_rep) so the row
     test runs scalar-free -- requires stream=True and a packed tris_rep."""
+    from functools import partial
+
     rep = rep and stream and ct.tris_rep is not None
+    rt = _tri_row_test_rep if rep else _tri_row_test_v2
+    # Deferred ent resolution (track_ent=False + one ent_map gather after
+    # the walk) measured SLOWER at every tier on TPU v5e (teapot 2.89 ->
+    # 2.67, bunny 2.34 -> 2.02, dragon 0.280 -> 0.275 Mray/s): the
+    # per-launch gather outweighs the 2-ops/slot in-kernel saving on
+    # short walks.  Machinery kept (exact, parity-tested) but unused.
+    ent_map = None
+    if ent_map is not None:
+        rt = partial(rt, track_ent=False)
     return _launch_sorted(
         ct.chunk_meta, ct.tris_rep if rep else ct.tris, o, d, excl_idx,
-        t_init, n_chunks, rows_per_chunk,
-        _tri_row_test_rep if rep else _tri_row_test_v2,
+        t_init, n_chunks, rows_per_chunk, rt,
         anyhit=False, stream=stream,
         interpret=interpret, two_phase=two_phase,
         block_rows=block_rows or BLOCK[0], plane_rows=True,
-        lane_sort=lane_sort, rep=rep,
+        lane_sort=lane_sort, rep=rep, ent_map=ent_map,
     )
 
 

@@ -163,7 +163,7 @@ def test_sharded_forced_pallas_matches_local(tmp_path):
     assert static.pallas_interpret
     static = dataclasses.replace(static, max_bounces=2)
 
-    n = 256
+    n = 128  # 16 lanes/shard; interpret-mode cost scales with lanes
     pix = np.arange(n, dtype=np.uint32)
     px = jnp.asarray((pix % 16).astype(np.int32))
     py = jnp.asarray((pix // 16).astype(np.int32))
@@ -200,7 +200,7 @@ def test_sharded_wave_sort_matches_local(tmp_path, monkeypatch):
     static = dataclasses.replace(static, max_bounces=2)
     monkeypatch.setenv("PATHS_TPU_WAVE_SORT_MIN_N", "16")
 
-    n = 256
+    n = 128  # 16 lanes/shard >= the lowered sort threshold
     pix = np.arange(n, dtype=np.uint32)
     px = jnp.asarray((pix % 16).astype(np.int32))
     py = jnp.asarray((pix // 16).astype(np.int32))

@@ -131,7 +131,9 @@ def test_replicated_layout_bit_identical(packed_soup, rays):
 
     ct, n_chunks, *_ = packed_soup
     ct = ct._replace(tris_rep=replicate_tris(ct.tris))
-    o, d, excl = rays
+    # A 512-ray slice keeps interpret-mode wall-clock down while still
+    # covering live, dead (400:500) and excluded (0:200) lanes.
+    o, d, excl = (a[:512] for a in rays)
     oj, dj = jnp.asarray(o), jnp.asarray(d)
     excl_j = jnp.asarray(excl)
     t_init = jnp.full(o.shape[0], BIG, jnp.float32)
@@ -164,7 +166,7 @@ def test_flat_sphere_kernel_matches_sorted():
     )
 
     rng = np.random.default_rng(11)
-    S = 60
+    S = 40
     centers = rng.uniform(-2, 2, (S, 3))
     radii = rng.uniform(0.05, 0.4, S)
     ents = (np.arange(S) % 7).astype(np.int64)
@@ -172,7 +174,7 @@ def test_flat_sphere_kernel_matches_sorted():
         centers, radii, ent=ents, rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED
     )
 
-    N = 700
+    N = 384
     o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
     o[100:150] = 1e30  # dead lanes
     d = rng.normal(size=(N, 3)).astype(np.float32)

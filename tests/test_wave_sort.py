@@ -135,7 +135,7 @@ def test_wave_sort_eager_bit_identical(force_pallas, monkeypatch):
     static, scene, cam = build_scene(sd)
     static = dataclasses.replace(
         static, max_bounces=2, wave_presorted=True)
-    N, W, H_px, n_samples, seed = 2048, 64, 32, 2, 7
+    N, W, H_px, n_samples, seed = 1024, 64, 16, 2, 7
     cam = C.resize(cam, W, H_px)
     pix = tiled_pixel_order(W, H_px)[:N]
     px = jnp.asarray((pix % W).astype(np.int32))
