@@ -42,6 +42,23 @@ ANCHOR_RAYS_PER_SEC = {
 BASELINE_RAYS_PER_SEC = ANCHOR_RAYS_PER_SEC["spheres_on_plane"]
 
 
+def _enable_compile_cache():
+    """Persistent on-disk executable cache: bench programs are identical
+    across runs (same scenes, same shapes), so repeat runs skip the 20-60s
+    per-tier compiles.  Safe: keys include computation, flags, backend."""
+    import os
+
+    import jax
+
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def bench_scene(scene_path, spp: int, tile: int = 345600, reps: int = 5):
     """scene_path: YAML path, or a zero-arg callable returning a
     SceneDescription (procedural scenes, e.g. the 500-sphere stress scene)."""
@@ -49,6 +66,8 @@ def bench_scene(scene_path, spp: int, tile: int = 345600, reps: int = 5):
 
     import numpy as np
     import jax
+
+    _enable_compile_cache()
     import jax.numpy as jnp
     from paths_tpu.scene.yaml_loader import load_scene_description
     from paths_tpu.scene.build import build_scene
@@ -116,6 +135,12 @@ def main():
             return generate_stress_scene(500, seed=0)
 
         tiers = {
+            # Thin-lens/DoF scene class (scenes/bokeh_demo.yml, lens
+            # sampling camera.rs:41-45): driver-visible so the one class
+            # the contract previously couldn't see regress is covered
+            # (VERDICT r4 item 5).
+            "bokeh_16spp": (
+                "/root/reference/scenes/bokeh_demo.yml", 16, "bokeh_demo"),
             "teapot_4spp": ("/root/reference/scenes/teapot.yml", 4, "teapot"),
             "bunny_4spp": ("/root/reference/scenes/bunny.yml", 4, "bunny"),
             "doom_standin_4spp": (

@@ -19,6 +19,19 @@ Estimator notes:
   - geometry derivatives (sphere centers/radii, vertices) also flow through
     the explicit intersection formulas, but visibility discontinuities are
     NOT handled (no edge sampling) -- documented limitation.
+
+Backend cut for geometry derivatives: the Pallas traversal launchers
+``stop_gradient`` their ray and table inputs (ops/pallas_traverse.py,
+ops/sorted_traverse.py _launch_sorted) -- traversal is a discrete selector
+whose outputs (t, prim id, ent) carry no gradients -- so on the TPU /
+forced-Pallas path geometry derivatives (sphere centers/radii, vertices
+through hit-t) vanish, while the XLA-fallback intersectors propagate them.
+The supported PARAM_FIELDS below are unaffected: they enter only through
+shading, which both backends recompute differentiably from SceneArrays at
+the returned hit (parity-tested in tests/test_grad.py
+test_forced_pallas_grads_match_xla).  Differentiating geometry therefore
+requires the XLA fallback (or a future reparameterised VJP at the returned
+index, SURVEY.md section 7).
 """
 
 from __future__ import annotations

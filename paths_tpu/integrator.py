@@ -102,6 +102,7 @@ def _scan_spheres_pallas(static, scene, o, d, excl_kind, excl_idx):
         scene.psph, static.pallas_sph_chunks, o, d, excl_i, t_best,
         interpret=static.pallas_interpret,
         lane_sort=not static.wave_presorted,
+        flat=static.pallas_sph_flat,
     )
     better = tk < t_best
     return (
@@ -307,6 +308,11 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
         occludes_spheres_sorted,
     )
 
+    # Shadow waves get their own lane sort when the bounce-wave sort can't
+    # serve them (see SceneStatic.occl_sort): their directions point at the
+    # sampled light, so the per-call (octant | morton) sort IS the
+    # light-relative key the bounce sort lacks.
+    occl_lane_sort = (not static.wave_presorted) or static.occl_sort
     occ = jnp.zeros(N, bool)
     if static.has_spheres:
         excl_s = excl_kind == KIND_SPHERE
@@ -323,7 +329,8 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
         occ = occ | occludes_spheres_sorted(
             scene.psph, static.pallas_sph_chunks, o_eff, d, excl_i, excl_ent,
             t_max, interpret=static.pallas_interpret,
-            lane_sort=not static.wave_presorted,
+            lane_sort=occl_lane_sort,
+            flat=static.pallas_sph_flat,
         )
     if static.has_tris:
         excl_i = jnp.where(excl_kind == KIND_TRI, excl_idx, jnp.int32(-1))
@@ -334,7 +341,7 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
             stream=static.pallas_tri_stream,
             interpret=static.pallas_interpret,
             block_rows=static.pallas_block_rows,
-            lane_sort=not static.wave_presorted,
+            lane_sort=occl_lane_sort,
             # rep is closest-hit-only: the replicated table measured SLOWER
             # for the any-hit walk (342 -> 376 ms at dragon scale) -- its
             # shorter walks leave the extra DMA volume exposed.

@@ -68,13 +68,26 @@ def schlick(r0, cos_theta):
 
 
 def _beckmann_d(roughness, cos_h):
-    """Beckmann NDF as written in material.rs:437-447 (via alpha = acos)."""
+    """Beckmann NDF as written in material.rs:437-447 (via alpha = acos).
+
+    Runs branchlessly for EVERY lane (the material dispatch selects after
+    the fact), so it must have finite gradients even at roughness == 0:
+    the old ``e / max(pi m2 c2 c2, 1e-20)`` form floored the denominator at
+    1e-20, whose reciprocal-square in the division VJP overflows f32 to
+    inf, and 0 * inf minted NaN cotangents that poisoned
+    d/d(roughness) for every GLOSS entity (where-NaN-grad trap).  Using
+    the same guarded m2 in both the exponent and the normalisation keeps
+    the denominator >= ~1e-36 pre-floor and a double-where zeroes the
+    floored region exactly (e == 0 there anyway)."""
     m2 = roughness * roughness
+    m2e = jnp.maximum(m2, 1e-12)
     c = jnp.clip(cos_h, -1.0, 1.0)
     c2 = jnp.maximum(c * c, 1e-12)
     tan2 = (1.0 - c2) / c2
-    e = jnp.exp(-tan2 / jnp.maximum(m2, 1e-12))
-    d0 = e / jnp.maximum(_PI * m2 * c2 * c2, 1e-20)
+    e = jnp.exp(-tan2 / m2e)
+    den = _PI * m2e * c2 * c2
+    live = den > 1e-20
+    d0 = jnp.where(live, e / jnp.where(live, den, 1.0), 0.0)
     return jnp.maximum(0.0, d0 * c)
 
 
@@ -205,7 +218,13 @@ def _basic_sample(mtype, albedo, r0, metalness, roughness, vec_out, normal,
     # theta = atan(sqrt(-a^2 ln(1-u))) -> cos/sin via identities.
     t2 = -(a * a) * jnp.log(jnp.maximum(1.0 - u1, 1e-12))
     ct_cos = 1.0 / jnp.sqrt(1.0 + t2)
-    ct_sin = jnp.sqrt(jnp.maximum(1.0 - ct_cos * ct_cos, 0.0))
+    # Double-where around the sqrt: at roughness == 0 (every non-CT lane --
+    # the lobe runs branchlessly for the whole wave) sin^2 is exactly 0 and
+    # sqrt's infinite slope there turns the zero cotangent of the unselected
+    # branch into 0 * inf = NaN, poisoning d/d(roughness) for *gloss*
+    # entities (the classic where-NaN-grad trap).  Forward value unchanged.
+    s2 = jnp.maximum(1.0 - ct_cos * ct_cos, 0.0)
+    ct_sin = jnp.where(s2 > 0.0, jnp.sqrt(jnp.where(s2 > 0.0, s2, 1.0)), 0.0)
     phi = 2.0 * _PI * u2
     facet_local = jnp.stack(
         [ct_sin * jnp.cos(phi), ct_cos, ct_sin * jnp.sin(phi)], axis=-1

@@ -409,7 +409,10 @@ def _tri_row_test(tr, o, d, excl_i, t_best, i_best, e_best,
         if excl_ent is not None:
             ok = ok & (ent != excl_ent)
         if any_hit:
-            t = jnp.zeros_like(t)
+            # Collapsed-t only; id/ent selects are waste (see
+            # _tri_row_test_v2).
+            t_best = jnp.where(ok, 0.0, t_best)
+            continue
         t_best = jnp.where(ok, t, t_best)
         i_best = jnp.where(ok, gid, i_best)
         e_best = jnp.where(ok, ent, e_best)
@@ -466,7 +469,10 @@ def _tri_row_test_v2(tr, o, d, excl_i, t_best, i_best, e_best,
         if excl_ent is not None:
             ok = ok & (ent != excl_ent)
         if any_hit:
-            t = jnp.zeros_like(t)
+            # Occlusion only needs the collapsed t; the id/ent selects are
+            # pure waste in the VPU-flop-bound walk.
+            t_best = jnp.where(ok, 0.0, t_best)
+            continue
         t_best = jnp.where(ok, t, t_best)
         i_best = jnp.where(ok, gid, i_best)
         if track_ent:
@@ -589,11 +595,14 @@ def pack_spheres_chunked(centers, radii, ent=None, gid0: int = 0,
     R = -(-S // SPH_PER_ROW)
     n_chunks = -(-R // rows_per_chunk)
     # The sorted sphere kernel tests every row of a chunk (no per-row meta
-    # count), so pad the table to n_chunks * rows_per_chunk rows with the
-    # canonical empty fill (r^2 = -1, gid = -1) -- all-zero pad rows would
-    # act as phantom r=0 spheres at the origin.
-    rpad = n_chunks * rows_per_chunk
-    rows = np.zeros((max(rpad, 1), 128), np.float32)
+    # count) and the FLAT kernel tests every row of the table, so allocate
+    # the table already padded to the f32 sublane tile (multiple of 8) and
+    # apply the canonical empty fill (r^2 = -1, gid = -1) to EVERY row --
+    # all-zero pad rows would act as phantom r=0 spheres at the origin with
+    # gid=0, and tris_pad's zero-fill would reintroduce exactly that for
+    # the rows past n_chunks * rows_per_chunk.
+    rpad = -(-max(n_chunks * rows_per_chunk, 1) // 8) * 8
+    rows = np.zeros((rpad, 128), np.float32)
     rows[:, 3::SPH_STRIDE] = -1.0  # r^2 = -1 in empty slots
     rows[:, 4::SPH_STRIDE] = -1.0
     for i in range(S):
@@ -614,7 +623,7 @@ def pack_spheres_chunked(centers, radii, ent=None, gid0: int = 0,
         meta[k, 6] = k * rows_per_chunk
         meta[k, 7] = min((k + 1) * rows_per_chunk, R) - k * rows_per_chunk
     return (
-        ChunkedTris(tris=jnp.asarray(tris_pad(rows)),
+        ChunkedTris(tris=jnp.asarray(rows),  # already tile-padded, see above
                     chunk_meta=jnp.asarray(tris_pad(meta))),
         n_chunks,
         order,
@@ -657,7 +666,10 @@ def _sphere_row_test(sr, o, d, excl_i, t_best, i_best, e_best,
         if excl_ent is not None:
             ok = ok & (ent != excl_ent)
         if any_hit:
-            t = jnp.zeros_like(t)
+            # Collapsed-t only; id/ent selects are waste (see
+            # _tri_row_test_v2).
+            t_best = jnp.where(ok, 0.0, t_best)
+            continue
         t_best = jnp.where(ok, t, t_best)
         i_best = jnp.where(ok, gid, i_best)
         e_best = jnp.where(ok, ent, e_best)

@@ -71,11 +71,23 @@ from paths_tpu.ops.pallas_traverse import (
 # slab test, loop/cond machinery) amortises over more rows.
 ROWS_PER_CHUNK_SORTED = 15
 
-# Streaming prefetch depth (ring buffer slots).  A chunk copy is
-# latency-bound (~1us) while a chunk's gated processing is often shorter, so
-# one-ahead double buffering leaves the loop waiting on DMAs; 4 in flight
-# hides the latency at ~23 KB of scratch.
-STREAM_NBUF = 4
+# STREAMED meshes use coarser chunks: the round-5 dragon sweep
+# (benchmarks/exp_dragon_sweep.py, 2026-08-21) measured rows=20 at 1.025x
+# anchor vs 0.993x at 15 (rows=31: 1.018, rows=12: 0.980, rows=8: 0.926)
+# -- fewer, larger replicated-table DMAs amortise ring latency, while the
+# resident kernels (no DMA) keep 15's finer early exit (doom, resident:
+# rows=20 measured 740k vs 754k rays/s at 15).
+ROWS_PER_CHUNK_STREAMED = 20
+
+# Streaming prefetch depth (ring buffer slots).  Default 8, measured round
+# 5: the replicated table's ~1 MB/chunk copies are latency-exposed at
+# depth 4 (dragon 0.993x -> 1.014x at 8; 16 gains nothing more and the
+# scratch ring doubles; 2 loses 7%).  PATHS_TPU_STREAM_NBUF overrides at
+# IMPORT time (a fresh process per setting, since the constant is baked
+# into traced kernels).
+import os as _os
+
+STREAM_NBUF = int(_os.environ.get("PATHS_TPU_STREAM_NBUF", 8))
 
 # Per-row AABB gates.  Measured SLOWER than unconditionally testing every
 # row (same 400k-tri waves: gates cost a scalar reduction + lax.cond per
@@ -117,6 +129,19 @@ REP_FIELDS = 14
 # Source lanes within a compact slot: 12 plane-form floats, gid (12),
 # ent (14); lanes 13/15 are pad.
 _REP_SRC = tuple(range(12)) + (12, 14)
+
+# HBM budget for the replicated table (the layout is 112x the compact one:
+# ~7 KB/triangle, ~1.4 GB at 200k tris).  Past this the measured ~5%
+# closest-hit gain is not worth risking HBM exhaustion on million-triangle
+# meshes that stream fine without it; scene/build.py skips rep above the
+# budget.  PATHS_TPU_TRI_REP_MAX_BYTES overrides (v5e has 16 GB HBM, most
+# of it needed for wave state at full tile sizes).
+REP_MAX_BYTES = 4 << 30
+
+
+def rep_bytes(tris: "jnp.ndarray") -> int:
+    """HBM bytes replicate_tris(tris) would occupy."""
+    return tris.shape[0] * PACK_LEAF * REP_FIELDS * 128 * 4
 
 
 def replicate_tris(tris: jnp.ndarray) -> jnp.ndarray:
@@ -174,13 +199,23 @@ def _tri_row_test_rep(grp, o, d, excl_i, t_best, i_best, e_best,
         if excl_ent is not None:
             ok = ok & (ent != excl_ent)
         if any_hit:
-            t = jnp.zeros_like(t)
+            # Collapsed-t only; id/ent selects are waste (see
+            # _tri_row_test_v2).
+            t_best = jnp.where(ok, 0.0, t_best)
+            continue
         t_best = jnp.where(ok, t, t_best)
         i_best = jnp.where(ok, gid, i_best)
         if track_ent:
             e_best = jnp.where(ok, ent, e_best)
     return t_best, i_best, e_best
 
+
+# Above this chunk count, occlusion waves re-sort by their own key even
+# when the bounce wave is presorted (see scene/build._occl_sort_default and
+# SceneStatic.occl_sort).  Placeholder until the round-5 sweep measures the
+# crossover; small-mesh walks are short enough that the per-call sort's
+# argsort + pack/unpack gathers dominate what tighter blocks save.
+OCCL_SORT_MIN_CHUNKS = 512
 
 # Keys >= this are "miss" sentinels (chunk can't be hit by this block).
 _MISS = np.float32(1e38)
@@ -827,26 +862,23 @@ def closest_hit_sorted(ct, n_chunks, o, d, excl_idx, t_init,
     two_phase: opt IN to the straggler-compacted two-phase walk (measured
     slower than the single walk on this chip; off by default).
     rep=True streams the field-replicated table (ct.tris_rep) so the row
-    test runs scalar-free -- requires stream=True and a packed tris_rep."""
-    from functools import partial
+    test runs scalar-free -- requires stream=True and a packed tris_rep.
 
+    Deferred ent resolution (track_ent=False on the row test + _launch_sorted's
+    ent_map gather after the walk) measured SLOWER at every tier on TPU v5e
+    (teapot 2.89 -> 2.67, bunny 2.34 -> 2.02, dragon 0.280 -> 0.275 Mray/s):
+    the per-launch gather outweighs the 2-ops/slot in-kernel saving on short
+    walks.  The machinery stays in _launch_sorted (exact, parity-tested via
+    the row tests' track_ent flag) but production keeps in-kernel ent."""
     rep = rep and stream and ct.tris_rep is not None
     rt = _tri_row_test_rep if rep else _tri_row_test_v2
-    # Deferred ent resolution (track_ent=False + one ent_map gather after
-    # the walk) measured SLOWER at every tier on TPU v5e (teapot 2.89 ->
-    # 2.67, bunny 2.34 -> 2.02, dragon 0.280 -> 0.275 Mray/s): the
-    # per-launch gather outweighs the 2-ops/slot in-kernel saving on
-    # short walks.  Machinery kept (exact, parity-tested) but unused.
-    ent_map = None
-    if ent_map is not None:
-        rt = partial(rt, track_ent=False)
     return _launch_sorted(
         ct.chunk_meta, ct.tris_rep if rep else ct.tris, o, d, excl_idx,
         t_init, n_chunks, rows_per_chunk, rt,
         anyhit=False, stream=stream,
         interpret=interpret, two_phase=two_phase,
         block_rows=block_rows or BLOCK[0], plane_rows=True,
-        lane_sort=lane_sort, rep=rep, ent_map=ent_map,
+        lane_sort=lane_sort, rep=rep,
     )
 
 
@@ -877,28 +909,26 @@ SPH_ROWS_PER_CHUNK_SORTED = 2
 def closest_hit_spheres_sorted(cs, n_chunks, o, d, excl_idx, t_init,
                                rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
                                interpret=False, block_rows=None,
-                               lane_sort=True):
+                               lane_sort=True, flat=False):
     """Closest sphere hit over pack_spheres_chunked tables.  Default: the
     sorted chunk walk (conservative block cull, front-to-back order, early
     exit, root-AABB lane cull), same machinery as the triangle kernels.
     Sphere tables are tiny -- always VMEM-resident.
 
-    PATHS_TPU_SPH_FLAT=1 dispatches small tables (<= SPH_FLAT_MAX_ROWS
-    rows) to the FLAT unrolled kernel instead (no cull, no sort, no
-    conds).  Measured on TPU v5e stress-500: flat wins per-launch on a
-    fully incoherent wave (26.5 vs 29 ms presorted / 45 ms with lane
-    sort) but LOSES end-to-end (4.61e6 vs 5.66e6 rays/s at 8spp) -- real
-    waves are coherent enough that the walk's cull + front-to-back early
-    exit saves more than its machinery costs.  Kept opt-in as the
-    measured baseline of the walk's overhead."""
-    import os
+    flat=True dispatches to the FLAT unrolled kernel instead (no cull, no
+    sort, no conds).  The flag is a plain argument -- the caller resolves
+    PATHS_TPU_SPH_FLAT OUTSIDE jit (scene/build.py threads it through
+    SceneStatic.pallas_sph_flat) so flipping the env var between builds
+    recompiles rather than reusing the first-traced schedule.  Measured on
+    TPU v5e stress-500: flat wins per-launch on a fully incoherent wave
+    (26.5 vs 29 ms presorted / 45 ms with lane sort) but LOSES end-to-end
+    (4.61e6 vs 5.66e6 rays/s at 8spp) -- real waves are coherent enough
+    that the walk's cull + front-to-back early exit saves more than its
+    machinery costs.  Kept opt-in as the measured baseline of the walk's
+    overhead."""
+    from paths_tpu.ops.pallas_traverse import _launch_flat_spheres
 
-    from paths_tpu.ops.pallas_traverse import (
-        SPH_FLAT_MAX_ROWS, _launch_flat_spheres,
-    )
-
-    if (os.environ.get("PATHS_TPU_SPH_FLAT") == "1"
-            and cs.tris.shape[0] <= SPH_FLAT_MAX_ROWS):
+    if flat:
         return _launch_flat_spheres(
             cs.tris, o, d, excl_idx, t_init, anyhit=False,
             interpret=interpret,
@@ -914,17 +944,12 @@ def closest_hit_spheres_sorted(cs, n_chunks, o, d, excl_idx, t_init,
 def occludes_spheres_sorted(cs, n_chunks, o, d, excl_idx, excl_ent, t_max,
                             rows_per_chunk=SPH_ROWS_PER_CHUNK_SORTED,
                             interpret=False, block_rows=None,
-                            lane_sort=True):
+                            lane_sort=True, flat=False):
     """Any-hit sphere occlusion; same opt-in flat dispatch as
-    closest_hit_spheres_sorted."""
-    import os
+    closest_hit_spheres_sorted (flat resolved by the caller outside jit)."""
+    from paths_tpu.ops.pallas_traverse import _launch_flat_spheres
 
-    from paths_tpu.ops.pallas_traverse import (
-        SPH_FLAT_MAX_ROWS, _launch_flat_spheres,
-    )
-
-    if (os.environ.get("PATHS_TPU_SPH_FLAT") == "1"
-            and cs.tris.shape[0] <= SPH_FLAT_MAX_ROWS):
+    if flat:
         return _launch_flat_spheres(
             cs.tris, o, d, excl_idx, t_max, anyhit=True,
             excl_ent=excl_ent, interpret=interpret,

@@ -50,6 +50,7 @@ class ProgressiveRenderer:
         self.estimator = Estimator(width, height)
         self._full_ids = None
         self._preview_pending = True
+        self._pending = None  # one in-flight wave (see pump)
 
         from paths_tpu.render import tiled_pixel_order
 
@@ -79,8 +80,9 @@ class ProgressiveRenderer:
         self._preview_pending = True
 
     # -- progressive work (the fill/drain pump) --
-    def pump(self):
-        """Render the next wave and accumulate it."""
+    def _dispatch(self):
+        """Launch the next wave asynchronously; returns the in-flight
+        record (epoch, idx, n_samples, device array)."""
         # Seed folded with epoch: fresh sample sequence per camera pose.
         seed = int(np.uint32(self.seed) + np.uint32(self.epoch) * np.uint32(0x9E3779B9))
         if self._preview_pending:
@@ -97,13 +99,35 @@ class ProgressiveRenderer:
             self.static, self.scene, self.cam, px, py, pid,
             jnp.uint32(self.sample_cursor), n_samples, seed,
         )
+        if isinstance(idx, slice):
+            self.sample_cursor += n_samples
+        return (self.epoch, idx, n_samples, col)
+
+    def pump(self):
+        """Progress the render by one frame's worth of work.
+
+        PIPELINED: the next wave is dispatched BEFORE the previous wave's
+        result is fetched, so the host-side fetch + accumulate + draw of
+        frame n overlaps the device computing frame n+1 (JAX dispatch is
+        async; np.asarray blocks only on the already-running previous
+        wave).  The measured single-chip viewer was bounded by exactly
+        this serialization (BASELINE.md: 14 fps host pump).  A camera
+        change mid-flight bumps the epoch and the stale wave is dropped
+        on arrival -- the same staleness rule as the reference's workers
+        (worker.rs:58-66), narrowed to the one in-flight wave.
+        """
+        pending = self._pending
+        self._pending = self._dispatch()
+        if pending is None:
+            return
+        epoch, idx, n_samples, col = pending
+        if epoch != self.epoch:
+            return  # stale epoch: camera moved while in flight
         col = np.asarray(col, np.float64)
         ys = self._py[idx]
         xs = self._px[idx]
         self.estimator.sum[ys, xs] += col
         self.estimator.count[ys, xs] += n_samples
-        if isinstance(idx, slice):
-            self.sample_cursor += n_samples
         self.num_rays_cast += len(col) * n_samples
 
     def frame(self) -> np.ndarray:

@@ -217,6 +217,15 @@ def render_samples(
             bounds.append(PT._meta_bounds(scene.psph.chunk_meta))
         w_lo = bounds[0][0] if len(bounds) == 1 else jnp.minimum(*[b[0] for b in bounds])
         w_hi = bounds[0][1] if len(bounds) == 1 else jnp.maximum(*[b[1] for b in bounds])
+        # Root-miss keying (see the body): only when the triangle kernel is
+        # the sole chunked intersector -- with Pallas sphere chunks active
+        # too, a tri-root-missing lane may still have sphere work, and
+        # packing it to the tail would widen the sphere kernel's block
+        # bounds instead.
+        root_key = static.pallas_tri_chunks > 0 and static.pallas_sph_chunks == 0
+        ext = jnp.maximum(w_hi - w_lo, 1e-6)
+        w_lo_e = w_lo - 1e-3 * ext
+        w_hi_e = w_hi + 1e-3 * ext
 
     def u_for(sample_slot, pid):
         sid = s_start + sample_slot
@@ -256,9 +265,30 @@ def render_samples(
 
         if wave_sort:
             # Done/dead lanes key to max morton and pack into tail blocks.
-            o_key = jnp.where(
-                (state[4] & ~done)[..., None], state[0], 1e30
-            )
+            # Lanes whose ray provably MISSES the Pallas scene's root AABB
+            # key as dead too: the kernels' own lane sort packs such lanes
+            # into instantly-exiting all-dead blocks (the root cull in
+            # _launch_sorted), and riding the wave sort used to forfeit
+            # exactly that packing -- on big meshes most bounce rays miss
+            # the mesh root, so mixing them into live blocks drags whole
+            # blocks through full candidate walks (the dominant wave-sort
+            # loss on doom/dragon, round-5 sweep).  Shading and the
+            # unrolled big-sphere tests are lane-order independent, so the
+            # only effect is block composition.  The slightly enlarged box
+            # keeps f32 rounding conservative (same margin as the
+            # launcher's root cull).
+            live = state[4] & ~done
+            if root_key:
+                rt0 = (w_lo_e[None, :] - state[0]) * (1.0 / state[1])
+                rt1 = (w_hi_e[None, :] - state[0]) * (1.0 / state[1])
+                rtn = jnp.minimum(rt0, rt1)
+                rtx = jnp.maximum(rt0, rt1)
+                rtn = jnp.where(jnp.isnan(rtn), -jnp.inf, rtn)
+                rtx = jnp.where(jnp.isnan(rtx), jnp.inf, rtx)
+                near = jnp.max(rtn, axis=1)
+                far = jnp.min(rtx, axis=1)
+                live = live & (near < far) & (far > 0.0)
+            o_key = jnp.where(live[..., None], state[0], 1e30)
             # Key family follows the dominant kernel (see _coherence_perm):
             # octant-major for the sorted triangle kernels (their block
             # interval cull needs sign-pure direction blocks), morton-major
@@ -404,12 +434,14 @@ def render_image(
     the result bit-identical to an uninterrupted render.
     `on_batch(est, next_sample)` fires after each full-frame batch.
 
+    Accumulation is device-resident in BOTH modes; the host only fetches
+    when the image, a progress callback, or a checkpoint needs it.
+
     mesh: a ``jax.sharding.Mesh`` (see paths_tpu.dist.make_mesh) shards each
     wave's pixel lanes over the mesh's devices -- the multi-chip replacement
-    for the reference's worker pool (renderer.rs:34-69).  Accumulation then
-    stays device-resident and lane-sharded (one shard per chip, no cross-chip
-    traffic on the forward path); the host only fetches when the image, a
-    progress callback, or a checkpoint needs it.
+    for the reference's worker pool (renderer.rs:34-69); the per-tile
+    accumulators are then lane-sharded with no cross-chip traffic on the
+    forward path.
     """
     if est is None:
         est = Estimator(width, height)
@@ -453,41 +485,45 @@ def render_image(
                 fn = _sharded[k] = dist.sharded_render_samples(static, mesh, k)
             return fn(scene, cam, px_j, py_j, pid_j, jnp.uint32(s), seed)
 
-    # Sharded mode: accumulate on device per tile; flush() materialises the
-    # host estimator only when something needs to read it.
-    accs = [None] * len(tiles)
-    base_sum = est.sum.copy() if mesh is not None else None
-    base_count = est.count.copy() if mesh is not None else None
+    # DEFERRED accumulation: every wave is dispatched without a host sync
+    # (results stay on device), and the estimator is folded only at flush
+    # points -- a progress/checkpoint callback, the pending-batch cap, or
+    # the final image.  The single-chip path previously fetched every tile
+    # every sample batch through the tunnel (the measured bound on the
+    # viewer's frame rate, BASELINE.md); the fold itself stays ONE
+    # f64 += f64 per batch IN BATCH ORDER, so the result is bit-identical
+    # no matter where the flush points fall -- the invariant
+    # checkpoint/resume depends on (tests/test_checkpoint.py).
+    pending = [[] for _ in tiles]  # per tile: [(device col, k), ...]
+    pending_batches = 0
+    # Cap outstanding device arrays (n_pix * 12 bytes each batch).
+    max_pending = 8
 
-    def flush(samples_done: int):
-        est.sum[:] = base_sum
-        est.count[:] = base_count
-        for (sl, n, _, _, _), acc in zip(tiles, accs):
-            if acc is None:
-                continue
-            est.sum[py_all[sl], px_all[sl]] += np.asarray(acc, np.float64)[:n]
-            est.count[py_all[sl], px_all[sl]] += samples_done
+    def flush():
+        nonlocal pending_batches
+        for (sl, n, _, _, _), cols in zip(tiles, pending):
+            for col, k in cols:
+                est.sum[py_all[sl], px_all[sl]] += \
+                    np.asarray(col, np.float64)[:n]
+                est.count[py_all[sl], px_all[sl]] += k
+            cols.clear()
+        pending_batches = 0
 
     s = start_sample
     while s < spp:
         k = min(sample_batch, spp - s)
         for i, (sl, n, px_j, py_j, pid_j) in enumerate(tiles):
-            col = run(px_j, py_j, pid_j, s, k)
-            if mesh is not None:
-                accs[i] = col if accs[i] is None else accs[i] + col
-            else:
-                col = np.asarray(col)[:n]
-                est.sum[py_all[sl], px_all[sl]] += col
-                est.count[py_all[sl], px_all[sl]] += k
+            pending[i].append((run(px_j, py_j, pid_j, s, k), k))
+        pending_batches += 1
         s += k
         if progress:
             print(f"[render] samples {s}/{spp}")
         if on_batch is not None:
-            if mesh is not None:
-                flush(s - start_sample)
+            flush()
             on_batch(est, s)
-    if mesh is not None:
-        flush(s - start_sample)
+        elif pending_batches >= max_pending:
+            flush()
+    flush()
     return est.mean()
 
 

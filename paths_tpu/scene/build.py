@@ -37,6 +37,25 @@ def _on_accel() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _occl_sort_default(tri_chunks: int) -> bool:
+    """Whether occlusion waves re-sort by their own (light-relative) key
+    when the bounce wave is presorted (SceneStatic.occl_sort).  Measured on
+    TPU v5e (2026-08-21, benchmarks/exp_dragon_sweep.py): the per-call sort
+    pays on big streamed meshes, where occlusion walks are candidate-union
+    bound and shadow directions (toward the light) diverge from the bounce
+    sort's keys; on small resident meshes the walk is short enough that the
+    extra argsort + pack/unpack gathers cost more than they save.
+    PATHS_TPU_OCCL_SORT=0/1 overrides for sweeps."""
+    import os
+
+    env = os.environ.get("PATHS_TPU_OCCL_SORT", "")
+    if env in ("0", "1"):
+        return env == "1"
+    from paths_tpu.ops import sorted_traverse as STV
+
+    return tri_chunks > STV.OCCL_SORT_MIN_CHUNKS
+
+
 def _force_pallas() -> bool:
     """PATHS_TPU_FORCE_PALLAS=1 routes CPU runs through the production
     Pallas kernels in interpret mode, so tests and multichip dryruns cover
@@ -238,6 +257,7 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
     n_spheres = len(sph_center)
     psph = None
     pallas_sph_chunks = 0
+    pallas_sph_flat = False
     n_sph_big = 0
     if n_spheres:
         sphc = np.stack(sph_center)
@@ -271,6 +291,16 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
             sphc[n_sph_big:] = sphc[tail]
             sphr[n_sph_big:] = sphr[tail]
             sphe[n_sph_big:] = sphe[tail]
+            # Opt-in flat unrolled sphere kernel (the walk-overhead
+            # baseline).  Resolved HERE, outside jit, and threaded through
+            # SceneStatic so flipping the env var between builds recompiles
+            # instead of silently reusing the first-traced schedule.
+            import os as _os
+
+            pallas_sph_flat = (
+                _os.environ.get("PATHS_TPU_SPH_FLAT") == "1"
+                and psph.tris.shape[0] <= PT.SPH_FLAT_MAX_ROWS
+            )
     else:
         sphc = np.zeros((1, 3)); sphr = np.zeros(1); sphe = np.zeros(1, np.int64)
 
@@ -312,11 +342,14 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
             if want_pallas:
                 import os as _os
 
-                # Experiment knob: chunk size in rows (default measured-best
-                # ROWS_PER_CHUNK_SORTED; benchmarks sweep it via env).
-                pallas_tri_rows = int(
-                    _os.environ.get("PATHS_TPU_ROWS_PER_CHUNK", 0)
-                ) or STV.ROWS_PER_CHUNK_SORTED
+                # Chunk size in rows: measured-best per tier (resident 15,
+                # streamed 20 -- see ops/sorted_traverse.py constants).
+                # The stream decision needs the packed size, so pack at the
+                # resident granularity first and repack coarser when the
+                # mesh turns out to stream (host-side numpy, one-time).
+                # PATHS_TPU_ROWS_PER_CHUNK forces a single value for sweeps.
+                rows_env = int(_os.environ.get("PATHS_TPU_ROWS_PER_CHUNK", 0))
+                pallas_tri_rows = rows_env or STV.ROWS_PER_CHUNK_SORTED
                 ptris, pallas_tri_chunks = PT.pack_chunked(
                     flat, cat["v0"], cat["v1"], cat["v2"], cat["n"],
                     ent=cat["ent"], rows_per_chunk=pallas_tri_rows,
@@ -325,6 +358,14 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
                     ptris.tris.shape[0] + ptris.chunk_meta.shape[0]
                 ) * 128 * 4
                 pallas_tri_stream = resident_bytes >= PT.VMEM_LIMIT_BYTES
+                if (pallas_tri_stream and not rows_env
+                        and STV.ROWS_PER_CHUNK_STREAMED
+                        != STV.ROWS_PER_CHUNK_SORTED):
+                    pallas_tri_rows = STV.ROWS_PER_CHUNK_STREAMED
+                    ptris, pallas_tri_chunks = PT.pack_chunked(
+                        flat, cat["v0"], cat["v1"], cat["v2"], cat["n"],
+                        ent=cat["ent"], rows_per_chunk=pallas_tri_rows,
+                    )
                 # Streamed meshes also carry the field-replicated table:
                 # triangle constants as lane-wide vector rows instead of
                 # scalar splats.  Measured on TPU v5e at dragon scale:
@@ -332,11 +373,17 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
                 # the vector stream dual-issue, and at block_rows=16 the
                 # scalar side is the longer pole) while OCCLUSION loses
                 # (342 -> 376 ms), so the integrator uses it for
-                # closest-hit only.  ~2 GB HBM at 200k tris, built on
-                # device.  PATHS_TPU_TRI_REP=0 opts out.
+                # closest-hit only.  ~1.4 GB HBM at 200k tris, built on
+                # device.  PATHS_TPU_TRI_REP=0 opts out; meshes whose
+                # replicated layout would exceed STV.REP_MAX_BYTES skip it
+                # automatically (a ~5% closest-hit gain is not worth HBM
+                # exhaustion on million-triangle meshes that stream fine).
+                rep_budget = int(_os.environ.get(
+                    "PATHS_TPU_TRI_REP_MAX_BYTES", STV.REP_MAX_BYTES
+                ))
                 if pallas_tri_stream and _os.environ.get(
                     "PATHS_TPU_TRI_REP", "1"
-                ) != "0":
+                ) != "0" and STV.rep_bytes(ptris.tris) <= rep_budget:
                     ptris = ptris._replace(
                         tris_rep=STV.replicate_tris(ptris.tris)
                     )
@@ -441,9 +488,11 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         pallas_tri_rows=pallas_tri_rows,
         pallas_block_rows=pallas_block_rows,
         pallas_sph_chunks=pallas_sph_chunks,
+        pallas_sph_flat=pallas_sph_flat,
         n_sph_big=n_sph_big,
         onehot_tables=_on_accel() or _force_pallas(),
         pallas_interpret=_force_pallas() and not _on_accel(),
+        occl_sort=_occl_sort_default(pallas_tri_chunks),
     )
 
     cam = make_camera(

@@ -143,6 +143,10 @@ class SceneStatic:
     # Pallas culled-chunk sphere intersector; sphere array layout is
     # [0, n_sph_big) double-single-path spheres, then kernel spheres.
     pallas_sph_chunks: int = 0
+    # Dispatch small sphere tables to the flat unrolled kernel instead of
+    # the sorted walk (opt-in baseline; PATHS_TPU_SPH_FLAT=1 resolved at
+    # scene build, NOT at trace time, so it participates in jit caching).
+    pallas_sph_flat: bool = False
     n_sph_big: int = 0
     # Select shading rows from small tables via one-hot MXU matmul instead
     # of HBM gathers (a TPU-only win; see integrator._take_rows).
@@ -166,6 +170,13 @@ class SceneStatic:
     # single light their directions are sign-pure except in blocks that
     # straddle the light's coordinate planes).
     wave_presorted: bool = False
+    # Occlusion (shadow) waves run their OWN per-call lane sort even when
+    # the wave is presorted: the shadow ray's (direction octant | origin
+    # morton) key IS the light-relative key -- its direction points at the
+    # sampled light, not along the bounce ray the wave sort keyed on.
+    # Only meaningful with wave_presorted (lane_sort is already on
+    # otherwise).  Set by scene/build.py; PATHS_TPU_OCCL_SORT overrides.
+    occl_sort: bool = False
 
     @property
     def has_spheres(self) -> bool:

@@ -209,3 +209,62 @@ def test_wave_sort_eager_bit_identical(force_pallas, monkeypatch):
         f"eager replay: {diff.sum()} lanes differ -- state misaligned "
         f"across the wave-sort permutation")
     assert (a != 0).any()  # the scene actually shaded something
+
+
+def test_wave_sort_jitted_permutation_invariance(force_pallas, monkeypatch):
+    """The jitted A/B VERDICT r4 item 7 asked for, formulated without the
+    reassociation loophole: instead of compiling two different schedules
+    (whose XLA fusion/FMA differences force the 1% tolerance above), run
+    the SAME compiled wave-sorted render_samples executable twice -- once
+    with the wave's lanes pre-shuffled by a random permutation -- and
+    assert per-lane BIT-identity after unshuffling.
+
+    This is the production invariant the wave sort rests on: per-lane
+    results are lane-position independent (a kernel block's composition
+    changes only performance -- a chunk is skipped only when NO lane can
+    hit it, early exit only when no lane can improve), and the RNG is
+    keyed on the carried pixel_id.  Zero tolerance: both runs are the same
+    executable, so ANY differing lane is a true cross-lane leak (state
+    misalignment in the permutation, or a kernel whose per-lane result
+    depends on its block's other lanes)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from paths_tpu import camera as C
+    from paths_tpu.render import _render_samples_jit_inner, tiled_pixel_order
+    from paths_tpu.scene.build import build_scene
+    from paths_tpu.scene.stress import generate_mixed_scene
+
+    sd = generate_mixed_scene(
+        os.path.join(os.path.dirname(__file__), "goldens", "assets"),
+        n_spheres=8,
+    )
+    static, scene, cam = build_scene(sd)
+    static = dataclasses.replace(static, max_bounces=3)
+    N, W, H = 1024, 64, 16
+    cam = C.resize(cam, W, H)
+    pix = tiled_pixel_order(W, H)[:N]
+    px = (pix % W).astype(np.int32)
+    py = (pix // W).astype(np.int32)
+
+    rng = np.random.default_rng(3)
+    P = rng.permutation(N)
+
+    def run(order):
+        out = _render_samples_jit_inner(
+            static, scene, cam,
+            jnp.asarray(px[order]), jnp.asarray(py[order]),
+            jnp.asarray(pix[order]), jnp.uint32(0), 2, 7, True,
+        )
+        return np.asarray(out)
+
+    a = run(np.arange(N))
+    b = np.empty_like(a)
+    b[P] = run(P)  # unshuffle back to canonical lane order
+    assert np.isfinite(a).all()
+    diff = (a.view(np.uint32) != b.view(np.uint32)).any(axis=-1)
+    assert diff.sum() == 0, (
+        f"{diff.sum()} lanes changed under lane permutation -- "
+        f"per-lane results leaked across the wave")
+    assert (a != 0).any()
