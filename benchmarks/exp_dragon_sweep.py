@@ -52,24 +52,33 @@ SCENES = {
 #   nbuf=2                      0.919x     latency-exposed at ring depth 4
 # Round 3 composes the winners and re-tests wave-sort after the root-miss
 # wave-key fix (render.py: mesh-root-missing lanes now pack to the tail).
+# Round 3 (dragon/doom, post root-miss wave-key fix):
+#   dragon: nbuf8 rows20 1.025 | rows31 1.018 | nbuf16 1.012 |
+#           ws=1 occl={0,1} 0.80 both (up from 0.60 pre-fix; still off)
+#   doom:   nbuf8 rows20 1.696 | rows31 1.442 | nbuf16 1.728 |
+#           ws=1 occl={0,1} 1.527 both (base 1.73; ws stays off)
+#   rep=0 @ nbuf8 rows20: dragon 0.974 (rep keeps winning)
+# -> production defaults since round 5: streamed rows=20, STREAM_NBUF=8.
+# Round 4 fine-tuned around that point (two full passes, reproducible to
+# <0.1%): rows=18 1.022 | rows=24 1.025 | block_rows=32 0.926 | occl-rep
+# 1.025 (neutral) | nbuf=12 1.031 both passes -> STREAM_NBUF default 12.
+# The config is at a measured local optimum; remaining dragon headroom is
+# the block-union amplification (see BASELINE.md round-5 section incl.
+# the recorded per-ray-group negative result).
 CONFIGS = [
-    ("nbuf=8 rows=20", {"PATHS_TPU_STREAM_NBUF": "8",
-                        "PATHS_TPU_ROWS_PER_CHUNK": "20"}),
-    ("nbuf=8 rows=31", {"PATHS_TPU_STREAM_NBUF": "8",
-                        "PATHS_TPU_ROWS_PER_CHUNK": "31"}),
-    ("nbuf=16 rows=15", {"PATHS_TPU_STREAM_NBUF": "16"}),
-    ("ws=1 occl=1 nbuf=8 (root-key)",
-     {"PATHS_TPU_WAVE_SORT": "1", "PATHS_TPU_OCCL_SORT": "1",
-      "PATHS_TPU_STREAM_NBUF": "8"}),
-    ("ws=1 occl=0 nbuf=8 (root-key)",
-     {"PATHS_TPU_WAVE_SORT": "1", "PATHS_TPU_OCCL_SORT": "0",
-      "PATHS_TPU_STREAM_NBUF": "8"}),
+    ("base (rows=20 nbuf=8)", {}),
+    ("rows=18", {"PATHS_TPU_ROWS_PER_CHUNK": "18"}),
+    ("rows=24", {"PATHS_TPU_ROWS_PER_CHUNK": "24"}),
+    ("block_rows=32", {"PATHS_TPU_BLOCK_ROWS": "32"}),
+    ("occl-rep", {"PATHS_TPU_OCCL_REP": "1"}),
+    ("nbuf=12", {"PATHS_TPU_STREAM_NBUF": "12"}),
 ]
 
 _SWEEP_KEYS = [
     "PATHS_TPU_BLOCK_ROWS", "PATHS_TPU_TRI_REP", "PATHS_TPU_WAVE_SORT",
     "PATHS_TPU_OCCL_SORT", "PATHS_TPU_ROWS_PER_CHUNK",
     "PATHS_TPU_NO_CHUNK_COND", "PATHS_TPU_STREAM_NBUF",
+    "PATHS_TPU_OCCL_REP",
 ]
 
 

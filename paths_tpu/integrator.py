@@ -342,10 +342,12 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
             interpret=static.pallas_interpret,
             block_rows=static.pallas_block_rows,
             lane_sort=occl_lane_sort,
-            # rep is closest-hit-only: the replicated table measured SLOWER
-            # for the any-hit walk (342 -> 376 ms at dragon scale) -- its
-            # shorter walks leave the extra DMA volume exposed.
-            rep=False,
+            # rep default-off for any-hit: the replicated table measured
+            # SLOWER for the occlusion walk at ring depth 4 (342 -> 376 ms
+            # at dragon scale -- its shorter walks leave the extra DMA
+            # exposed).  PATHS_TPU_OCCL_REP=1 (resolved at scene build
+            # into SceneStatic, not at trace time) re-tests.
+            rep=static.pallas_occl_rep,
         )
     return occ
 

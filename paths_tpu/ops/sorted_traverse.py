@@ -79,15 +79,15 @@ ROWS_PER_CHUNK_SORTED = 15
 # rows=20 measured 740k vs 754k rays/s at 15).
 ROWS_PER_CHUNK_STREAMED = 20
 
-# Streaming prefetch depth (ring buffer slots).  Default 8, measured round
-# 5: the replicated table's ~1 MB/chunk copies are latency-exposed at
-# depth 4 (dragon 0.993x -> 1.014x at 8; 16 gains nothing more and the
-# scratch ring doubles; 2 loses 7%).  PATHS_TPU_STREAM_NBUF overrides at
-# IMPORT time (a fresh process per setting, since the constant is baked
-# into traced kernels).
+# Streaming prefetch depth (ring buffer slots).  Default 12, measured
+# round 5: the replicated table's ~1.15 MB/chunk copies are
+# latency-exposed at depth 4 (dragon 0.993x -> 1.014x at 8 -> 1.031x at
+# 12, exactly reproducible across passes; 16 at rows=15 gained nothing;
+# 2 loses 7%).  PATHS_TPU_STREAM_NBUF overrides at IMPORT time (a fresh
+# process per setting, since the constant is baked into traced kernels).
 import os as _os
 
-STREAM_NBUF = int(_os.environ.get("PATHS_TPU_STREAM_NBUF", 8))
+STREAM_NBUF = int(_os.environ.get("PATHS_TPU_STREAM_NBUF", 12))
 
 # Per-row AABB gates.  Measured SLOWER than unconditionally testing every
 # row (same 400k-tri waves: gates cost a scalar reduction + lax.cond per
@@ -212,9 +212,16 @@ def _tri_row_test_rep(grp, o, d, excl_i, t_best, i_best, e_best,
 
 # Above this chunk count, occlusion waves re-sort by their own key even
 # when the bounce wave is presorted (see scene/build._occl_sort_default and
-# SceneStatic.occl_sort).  Placeholder until the round-5 sweep measures the
-# crossover; small-mesh walks are short enough that the per-call sort's
-# argsort + pack/unpack gathers dominate what tighter blocks save.
+# SceneStatic.occl_sort).  MEASURED (round-5 sweep, exp_dragon_sweep.py):
+# NEUTRAL at both dragon (225k rays/s either way under forced wave-sort)
+# and doom (666k) scale -- the r4 "occlusion rays riding the bounce sort"
+# hypothesis did not survive measurement; the real big-mesh wave-sort loss
+# was the root-cull packing (render.py root-miss keys).  The knob stays
+# because it is free where it matters (production wave-sort is gated off
+# above this same chunk count, so occl_sort only engages when a user
+# forces PATHS_TPU_WAVE_SORT=1 on a big mesh -- where its per-call sort
+# also restores the occlusion root-cull packing the wave key can't give
+# shadow rays).
 OCCL_SORT_MIN_CHUNKS = 512
 
 # Keys >= this are "miss" sentinels (chunk can't be hit by this block).

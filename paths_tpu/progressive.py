@@ -84,7 +84,11 @@ class ProgressiveRenderer:
         """Launch the next wave asynchronously; returns the in-flight
         record (epoch, idx, n_samples, device array)."""
         # Seed folded with epoch: fresh sample sequence per camera pose.
-        seed = int(np.uint32(self.seed) + np.uint32(self.epoch) * np.uint32(0x9E3779B9))
+        # Kept as a TYPED np.uint32 scalar: as a plain Python int any value
+        # past 2^31 (i.e. every epoch >= 1) overflows jit's weak-int32
+        # argument parsing -- a camera move crashed the viewer
+        # (caught by tests/test_viewer.py test_pipelined_pump_drops_stale_epoch).
+        seed = np.uint32(self.seed) + np.uint32(self.epoch) * np.uint32(0x9E3779B9)
         if self._preview_pending:
             idx = self._prev_idx
             n_samples = 1

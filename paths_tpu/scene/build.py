@@ -13,6 +13,8 @@ with golden-test tolerances absorbing the cast.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -485,6 +487,9 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         pallas_tri_chunks=pallas_tri_chunks,
         pallas_tri_stream=pallas_tri_stream,
         pallas_tri_rep=pallas_tri_rep,
+        pallas_occl_rep=(
+            pallas_tri_rep and os.environ.get("PATHS_TPU_OCCL_REP") == "1"
+        ),
         pallas_tri_rows=pallas_tri_rows,
         pallas_block_rows=pallas_block_rows,
         pallas_sph_chunks=pallas_sph_chunks,

@@ -135,6 +135,10 @@ class SceneStatic:
     # ops/sorted_traverse.replicate_tris).  Only meaningful with
     # pallas_tri_stream; the fat table only pays on big meshes.
     pallas_tri_rep: bool = False
+    # Replicated table for the OCCLUSION (any-hit) walk too -- measured
+    # slower at dragon scale (extra DMA exposed on shorter walks), so off
+    # by default; PATHS_TPU_OCCL_REP=1 at scene build re-tests.
+    pallas_occl_rep: bool = False
     # Ray-block sublane count for the sorted kernels.  The row test is
     # scalar-broadcast-bound (~84% of its cost is per-row scalar splats),
     # so wider blocks amortize it across more lanes; the candidate-union

@@ -163,3 +163,55 @@ def test_occluded_query_pallas_matches_fallback(tmp_path):
     # f32 grazing ties can flip a rare lane; require near-exact agreement.
     agree = (occ_p == occ_f).mean()
     assert agree > 0.995, f"only {agree:.4f} agreement"
+
+
+def test_streamed_repack_coarser_chunks(tmp_path, monkeypatch):
+    """Meshes that stream (past the VMEM budget) repack at the streamed
+    chunk granularity (ROWS_PER_CHUNK_STREAMED, measured round 5) and
+    still render identically to the resident build.  The budget is
+    monkeypatched down so a test-sized mesh exercises the repack."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from paths_tpu.ops import pallas_traverse as PT
+    from paths_tpu.ops import sorted_traverse as STV
+    from paths_tpu.scene import build as B
+    from paths_tpu.render import render_wave
+
+    sd = generate_mixed_scene(str(tmp_path))
+    monkeypatch.setenv("PATHS_TPU_FORCE_PALLAS", "1")
+
+    static_r, scene_r, cam = B.build_scene(sd)
+    assert not static_r.pallas_tri_stream
+    assert static_r.pallas_tri_rows == STV.ROWS_PER_CHUNK_SORTED
+
+    monkeypatch.setattr(PT, "VMEM_LIMIT_BYTES", 1)
+    static_s, scene_s, _ = B.build_scene(sd)
+    assert static_s.pallas_tri_stream
+    assert static_s.pallas_tri_rows == STV.ROWS_PER_CHUNK_STREAMED
+    assert static_s.pallas_tri_chunks < static_r.pallas_tri_chunks
+
+    W, H = 16, 8
+    pix = np.arange(W * H, dtype=np.uint32)
+    args = (
+        jnp.asarray((pix % W).astype(np.int32)),
+        jnp.asarray((pix // W).astype(np.int32)),
+        jnp.asarray(pix),
+        jnp.zeros(W * H, jnp.uint32),
+        5,
+    )
+    from paths_tpu import camera as C
+
+    cam = C.resize(cam, W, H)
+    a = np.asarray(render_wave(
+        dataclasses.replace(static_r, max_bounces=3), scene_r, cam, *args))
+    b = np.asarray(render_wave(
+        dataclasses.replace(static_s, max_bounces=3), scene_s, cam, *args))
+    assert np.isfinite(b).all()
+    # Same physics, different chunk partition: per-triangle plane constants
+    # are recentred per chunk, so f32 results agree closely but not
+    # bit-for-bit.
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.995, close.mean()
