@@ -115,6 +115,12 @@ def test_two_process_init_multihost_train_step():
     env.pop("XLA_FLAGS", None)  # no 8-virtual-device split in the workers
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Share the suite's persistent executable cache (conftest sets it
+    # in-process; subprocesses need the env var) so repeat runs skip the
+    # workers' integrator compiles.
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(

@@ -122,6 +122,10 @@ def test_mosaic_min_nan_parity_on_hardware():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # the suite's 8-virtual-CPU-device flag
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Persistent executable cache: repeat runs skip the ~6 kernel compiles.
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
     try:
         out = subprocess.run(
             [sys.executable, "-c", _SCRIPT], env=env, cwd=_REPO,
