@@ -101,11 +101,37 @@ def _chunk_cond_enabled() -> bool:
     """Experiment knob: PATHS_TPU_NO_CHUNK_COND=1 drops the per-chunk
     any-lane-hit lax.cond and tests every row of every visited chunk
     unconditionally (same results -- the row test is t-gated per lane).
-    The cond's scalar reduce + branch is suspected to rival the row tests
-    it skips on v5e (cf. the _ROW_GATES measurement)."""
+    MEASURED round 5: the cond EARNS its branch -- removing it drops the
+    dragon tier 1.025x -> 0.697x."""
     import os
 
     return os.environ.get("PATHS_TPU_NO_CHUNK_COND", "") in ("", "0")
+
+
+def _half_cond_enabled() -> bool:
+    """Sub-block row-test gating (default ON; PATHS_TPU_HALF_COND=0 opts
+    out): inside the per-chunk any-lane cond, the row tests run per
+    (8,128) SUB-BLOCK under that sub-block's own precise any-lane test,
+    so a chunk crossed by only some sub-blocks of a wide block pays row
+    tests on those sub-blocks alone.  This decouples the two things
+    block_rows used to couple -- per-visit FIXED costs (amortised over
+    the whole block: meta read, slab test, DMA, loop machinery) and
+    row-test ADMISSION (now at 1024-lane granularity regardless of
+    width) -- which flips the optimum block width from 16 to 64:
+
+    measured round 5 (driver tiers, rays/s vs anchor):
+      dragon  br16 1.030 -> br16+sub 1.107 -> br32+sub 1.199 ->
+              br64+sub 1.219 (br128 1.202)
+      doom    br8 1.731 -> br16+sub 1.834 -> br32+sub 1.890 -> br64 1.896
+      teapot  br8 4.006 -> br16+sub 4.081;  bunny br32+sub 3.377
+
+    Same results either way: the row test is t-gated per lane, and a
+    skipped sub-block is one whose precise slab test proves no lane can
+    hit the chunk (bit-identity asserted in tests/test_sorted_traverse
+    and on hardware in tests/test_tpu_hw.py)."""
+    import os
+
+    return os.environ.get("PATHS_TPU_HALF_COND", "1") == "1"
 
 # Field-replicated triangle-table layout for the STREAMED kernels (opt-in,
 # PATHS_TPU_TRI_REP=1).  The compact plane-form row packs 8 slots x 16
@@ -381,6 +407,10 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
     # don't carry them (has_row_meta=False)
     row_cull = rows_per_chunk <= 15 and _ROW_GATES and has_row_meta
     chunk_cond = _chunk_cond_enabled()
+    half_cond = (
+        chunk_cond and _half_cond_enabled()
+        and block_rows >= 16 and block_rows % 8 == 0
+    )
 
     def kernel(ids_ref, keys_ref, meta_ref, tab_ref, ox, oy, oz, dx, dy, dz,
                excl, *rest):
@@ -514,6 +544,29 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
 
             if anyhit:
                 def proc(tb):
+                    if half_cond:
+                        outs_h = []
+                        for h in range(block_rows // 8):
+                            s = slice(8 * h, 8 * h + 8)
+                            o_h = tuple(x[s] for x in o_r)
+                            d_h = tuple(x[s] for x in d)
+
+                            def go(t, s=s, o_h=o_h, d_h=d_h):
+                                for r in range(R):
+                                    tr = read_row(slot, c, r)
+                                    t, _, _ = row_test(
+                                        tr, o_h, d_h, excl_i[s], t,
+                                        zero_i[s], zero_i[s],
+                                        excl_ent=(None if excl_e is None
+                                                  else excl_e[s]),
+                                        any_hit=True,
+                                    )
+                                return t
+
+                            outs_h.append(lax.cond(
+                                jnp.any(lane_hit[s]), go,
+                                lambda t: t, tb[s]))
+                        return jnp.concatenate(outs_h, axis=0)
                     for r in range(R):
                         def test(tb, r=r):
                             tr = read_row(slot, c, r)
@@ -535,6 +588,29 @@ def _make_sorted_kernel(n_chunks: int, rows_per_chunk: int, row_test,
                 ib, eb = carry[3], carry[4]
 
                 def proc(tb, ib, eb):
+                    if half_cond:
+                        outs_h = []
+                        for h in range(block_rows // 8):
+                            s = slice(8 * h, 8 * h + 8)
+                            o_h = tuple(x[s] for x in o_r)
+                            d_h = tuple(x[s] for x in d)
+
+                            def go(t3, s=s, o_h=o_h, d_h=d_h):
+                                t, i, e = t3
+                                for r in range(R):
+                                    tr = read_row(slot, c, r)
+                                    t, i, e = row_test(
+                                        tr, o_h, d_h, excl_i[s], t, i, e)
+                                return (t, i, e)
+
+                            outs_h.append(lax.cond(
+                                jnp.any(lane_hit[s]), go,
+                                lambda t3: t3, (tb[s], ib[s], eb[s])))
+                        return (
+                            jnp.concatenate([x[0] for x in outs_h], axis=0),
+                            jnp.concatenate([x[1] for x in outs_h], axis=0),
+                            jnp.concatenate([x[2] for x in outs_h], axis=0),
+                        )
                     for r in range(R):
                         def test(tb, ib, eb, r=r):
                             tr = read_row(slot, c, r)

@@ -390,13 +390,21 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
                         tris_rep=STV.replicate_tris(ptris.tris)
                     )
                     pallas_tri_rep = True
-                # Wider ray blocks amortize the scalar-bound row test on
-                # big (streamed) meshes, where incoherent bounce waves
-                # dominate; small resident meshes keep the finer early
-                # exit.  PATHS_TPU_BLOCK_ROWS overrides for sweeps.
+                # Ray-block width: with sub-block row-test gating (round
+                # 5, sorted_traverse._half_cond_enabled) admission stays
+                # at 1024-lane granularity regardless of width, so wide
+                # blocks purely amortise per-visit fixed costs -- 64 rows
+                # is the measured optimum for streamed and big resident
+                # meshes (dragon 1.030 -> 1.219x anchor, doom 1.731 ->
+                # 1.896x), while small resident meshes (short walks, few
+                # chunks) peak at 16 (teapot 4.081x).
+                # PATHS_TPU_BLOCK_ROWS overrides for sweeps.
                 pallas_block_rows = int(
                     _os.environ.get("PATHS_TPU_BLOCK_ROWS", 0)
-                ) or (16 if pallas_tri_stream else 8)
+                ) or (
+                    64 if (pallas_tri_stream or pallas_tri_chunks >= 512)
+                    else 16
+                )
             else:
                 bvh_arrays = BvhArrays(
                     node_min=jnp.asarray(flat.node_min),

@@ -139,10 +139,11 @@ class SceneStatic:
     # slower at dragon scale (extra DMA exposed on shorter walks), so off
     # by default; PATHS_TPU_OCCL_REP=1 at scene build re-tests.
     pallas_occl_rep: bool = False
-    # Ray-block sublane count for the sorted kernels.  The row test is
-    # scalar-broadcast-bound (~84% of its cost is per-row scalar splats),
-    # so wider blocks amortize it across more lanes; the candidate-union
-    # growth is sublinear, so large streamed meshes net ~1.4x at 16.
+    # Ray-block sublane count for the sorted kernels.  With sub-block
+    # row-test gating (ops/sorted_traverse._half_cond_enabled) admission
+    # stays at 1024-lane granularity regardless of width, so wide blocks
+    # purely amortise per-visit fixed costs: 64 for streamed / big
+    # resident meshes, 16 for small resident ones (measured round 5).
     pallas_block_rows: int = 8
     # Pallas culled-chunk sphere intersector; sphere array layout is
     # [0, n_sph_big) double-single-path spheres, then kernel spheres.

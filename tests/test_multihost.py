@@ -48,12 +48,21 @@ n_local = len(jax.local_devices())
 n_global = len(jax.devices())
 assert n_global == 2 * n_local, (n_global, n_local)
 
+# Establish the cross-process gloo context NOW, while inter-process skew
+# is minimal (both workers were spawned together and have done identical
+# work so far): gloo's rendezvous has a hard ~30 s deadline, and the big
+# jit compiles below can drift the processes further apart than that on
+# a loaded host.  Later collectives reuse the context.
+from jax.experimental import multihost_utils
+
+multihost_utils.sync_global_devices("init")
+
 import dataclasses
 
 sd = generate_stress_scene(8, seed=0)
 static, scene, cam = build_scene(sd)
-static = dataclasses.replace(static, max_bounces=2)
-W, H = 32, 8
+static = dataclasses.replace(static, max_bounces=1)
+W, H = 16, 4
 cam = C.resize(cam, W, H)
 n = W * H
 pix = np.arange(n, dtype=np.uint32)
@@ -91,7 +100,15 @@ cam_g = repl_tree(cam)
 params_g = repl_tree(get_params(scene))
 
 step = sharded_train_step(static, mesh, lr=0.05)
-loss, new_params = step(params_g, scene_g, cam_g, px, py, pidl, sid, 0, target)
+# AOT-compile (local, no collectives executed), THEN barrier: gloo's
+# cross-process context init has a hard ~30 s rendezvous deadline, and
+# under a loaded host the two workers' jit compiles can finish further
+# apart than that.  After the barrier both processes dispatch the psum
+# within milliseconds.
+args = (params_g, scene_g, cam_g, px, py, pidl, sid, 0, target)
+step_c = step.lower(*args).compile()
+multihost_utils.sync_global_devices("compiled")
+loss, new_params = step_c(*args)
 loss = float(loss)
 flat = jax.tree.leaves(new_params)
 finite = all(bool(np.isfinite(np.asarray(x)).all()) for x in flat)
@@ -113,6 +130,9 @@ def _free_port():
 def test_two_process_init_multihost_train_step():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # no 8-virtual-device split in the workers
+    # No knob leakage from env-mutating tests sharing this xdist worker.
+    for k in [k for k in env if k.startswith("PATHS_TPU_")]:
+        env.pop(k)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
     # Share the suite's persistent executable cache (conftest sets it
@@ -133,7 +153,10 @@ def test_two_process_init_multihost_train_step():
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=600)
+            # Generous: under the full xdist suite both cores are
+            # oversubscribed ~3x and the workers' compiles +
+            # gloo barriers run starved (standalone: ~50 s).
+            out, err = p.communicate(timeout=1200)
             outs.append((p.returncode, out, err))
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -167,8 +190,8 @@ def test_two_process_init_multihost_train_step():
 
     sd = generate_stress_scene(8, seed=0)
     static, scene, cam = build_scene(sd)
-    static = dataclasses.replace(static, max_bounces=2)
-    W, H = 32, 8
+    static = dataclasses.replace(static, max_bounces=1)
+    W, H = 16, 4
     cam = C.resize(cam, W, H)
     n = W * H
     pix = np.arange(n, dtype=np.uint32)

@@ -230,3 +230,73 @@ def test_two_phase_matches_single_phase(packed_soup, rays):
         np.asarray(i_sp)[hit_sp], np.asarray(i_tp)[hit_sp])
     np.testing.assert_array_equal(
         np.asarray(e_sp)[hit_sp], np.asarray(e_tp)[hit_sp])
+
+
+def test_sub_block_gating_bit_identical():
+    """Sub-block row-test gating (round 5, _half_cond_enabled) must be a
+    pure perf transform: a skipped sub-block is one whose precise slab
+    test proves no lane can hit the chunk, so results are bit-identical
+    with the gating forced off -- for compact and replicated layouts,
+    closest-hit and any-hit, with dead lanes present."""
+    import os
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from paths_tpu.bvh.build import build_bvh
+    from paths_tpu.ops.pallas_traverse import pack_chunked
+    from paths_tpu.ops.sorted_traverse import (
+        closest_hit_sorted, occludes_sorted, replicate_tris,
+    )
+
+    rng = np.random.default_rng(5)
+    T = 400
+    v0 = rng.uniform(-2, 2, (T, 3))
+    e1 = rng.normal(scale=0.4, size=(T, 3))
+    e2 = rng.normal(scale=0.4, size=(T, 3))
+    v1, v2 = v0 + e1, v0 + e2
+    n = np.cross(e1, e2)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+    ent = (np.arange(T) % 9).astype(np.int64)
+    tmin = np.minimum(np.minimum(v0, v1), v2)
+    tmax = np.maximum(np.maximum(v0, v1), v2)
+    flat = build_bvh(tmin, tmax, leaf_size=8)
+    v0, v1, v2, n, ent = (a[flat.order] for a in (v0, v1, v2, n, ent))
+    ct, C = pack_chunked(flat, v0, v1, v2, n, ent=ent, rows_per_chunk=15)
+    ct = ct._replace(tris_rep=replicate_tris(ct.tris))
+
+    N = 4096
+    o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    o[500:900] = 1e30
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    excl = np.full(N, -1, np.int32)
+    excl[:100] = rng.integers(0, T, 100)
+    oj, dj, ej = jnp.asarray(o), jnp.asarray(d), jnp.asarray(excl)
+    t0 = jnp.full(N, np.float32(3.4e38))
+    tmx = jnp.full(N, np.float32(6.0))
+    eent = jnp.asarray(rng.integers(-1, 9, N).astype(np.int32))
+
+    def run(rep):
+        a = closest_hit_sorted(ct, C, oj, dj, ej, t0, stream=True,
+                               interpret=True, block_rows=16, rep=rep)
+        b = occludes_sorted(ct, C, oj, dj, ej, eent, tmx, stream=True,
+                            interpret=True, block_rows=16, rep=rep)
+        return [np.asarray(x) for x in a] + [np.asarray(b)]
+
+    old = os.environ.get("PATHS_TPU_HALF_COND")
+    try:
+        os.environ["PATHS_TPU_HALF_COND"] = "0"
+        plain = {rep: run(rep) for rep in (False, True)}
+        os.environ["PATHS_TPU_HALF_COND"] = "1"
+        gated = {rep: run(rep) for rep in (False, True)}
+    finally:
+        if old is None:
+            os.environ.pop("PATHS_TPU_HALF_COND", None)
+        else:
+            os.environ["PATHS_TPU_HALF_COND"] = old
+    for rep in (False, True):
+        for x, y in zip(plain[rep], gated[rep]):
+            np.testing.assert_array_equal(x, y)
+    assert (plain[False][0] < 1e38).sum() > 0
+    assert plain[False][3].sum() > 0

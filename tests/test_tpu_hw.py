@@ -92,6 +92,9 @@ for name, kw in [
     ("stream", dict(stream=True, rep=False)),
     ("rep", dict(stream=True, rep=True)),
     ("resident", dict(stream=False, rep=False)),
+    # Production block width: covers the Mosaic lowering of the round-5
+    # sub-block row-test conds (block_rows >= 16 engages them).
+    ("stream_br16_subcond", dict(stream=True, rep=False, block_rows=16)),
 ]:
     got = [np.asarray(x) for x in closest_hit_sorted(
         ct, n_chunks, oj, dj, ej, t0, interpret=False, **kw)]
