@@ -101,6 +101,7 @@ def _scan_spheres_pallas(static, scene, o, d, excl_kind, excl_idx):
     tk, ik, ek = closest_hit_spheres_sorted(
         scene.psph, static.pallas_sph_chunks, o, d, excl_i, t_best,
         interpret=static.pallas_interpret,
+        block_rows=static.pallas_sph_block_rows,
         lane_sort=not static.wave_presorted,
         flat=static.pallas_sph_flat,
     )
@@ -329,6 +330,7 @@ def occluded_query(static, scene, o, d, excl_kind, excl_idx, t_max, excl_ent):
         occ = occ | occludes_spheres_sorted(
             scene.psph, static.pallas_sph_chunks, o_eff, d, excl_i, excl_ent,
             t_max, interpret=static.pallas_interpret,
+            block_rows=static.pallas_sph_block_rows,
             lane_sort=occl_lane_sort,
             flat=static.pallas_sph_flat,
         )

@@ -132,9 +132,8 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         search_dirs = [".", sd.base_dir]
         # Scene YAMLs reference assets CWD-relative ("./scenes/objects/..");
         # also try the scene dir's parent so `scenes/foo.yml` works from
-        # anywhere.
-        import os
-
+        # anywhere.  (os is module-level: a conditional local import here
+        # would shadow it for the whole function.)
         search_dirs.append(os.path.dirname(sd.base_dir))
 
     library = ModelLibrary(search_dirs=search_dirs)
@@ -397,12 +396,19 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
                 # is the measured optimum for streamed and big resident
                 # meshes (dragon 1.030 -> 1.219x anchor, doom 1.731 ->
                 # 1.896x), while small resident meshes (short walks, few
-                # chunks) peak at 16 (teapot 4.081x).
+                # chunks) peak at 16 (teapot 4.081x).  EXCEPTION: a
+                # streamed mesh WITHOUT the replicated table (rep budget
+                # exceeded or opted out) keeps 16 -- each sub-block's row
+                # tests re-splat the compact slots' scalars, and at 64
+                # the multiplied splat stream dominates (dragon no-rep:
+                # 0.974x at br16 vs 0.836x at br64).
                 # PATHS_TPU_BLOCK_ROWS overrides for sweeps.
                 pallas_block_rows = int(
                     _os.environ.get("PATHS_TPU_BLOCK_ROWS", 0)
                 ) or (
-                    64 if (pallas_tri_stream or pallas_tri_chunks >= 512)
+                    64 if ((pallas_tri_stream and pallas_tri_rep)
+                           or (not pallas_tri_stream
+                               and pallas_tri_chunks >= 512))
                     else 16
                 )
             else:
@@ -442,7 +448,6 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         sky_type, sky_arr = SK.gradient(sb.overhead_colour.tolist(), sb.horizon_colour.tolist())
     elif sb.kind == "hdri":
         from paths_tpu.scene.hdr_loader import load_hdr
-        import os
 
         path = sb.filename
         if not os.path.exists(path):
@@ -502,6 +507,12 @@ def build_scene(sd: D.SceneDescription, search_dirs=None, bvh_threshold: int = 3
         pallas_block_rows=pallas_block_rows,
         pallas_sph_chunks=pallas_sph_chunks,
         pallas_sph_flat=pallas_sph_flat,
+        # Wide blocks for real sphere sets (stress-500: 4.66 -> 4.92x
+        # anchor at 64, reproducible; 128 within noise), narrow for the
+        # handful-of-spheres case where padding waste dominates.
+        pallas_sph_block_rows=int(
+            os.environ.get("PATHS_TPU_SPH_BLOCK_ROWS", 0)
+        ) or (64 if pallas_sph_chunks >= 8 else 8),
         n_sph_big=n_sph_big,
         onehot_tables=_on_accel() or _force_pallas(),
         pallas_interpret=_force_pallas() and not _on_accel(),

@@ -152,6 +152,11 @@ class SceneStatic:
     # the sorted walk (opt-in baseline; PATHS_TPU_SPH_FLAT=1 resolved at
     # scene build, NOT at trace time, so it participates in jit caching).
     pallas_sph_flat: bool = False
+    # Ray-block width for the sorted SPHERE kernels: 64 for real sphere
+    # sets (stress-500: 4.66 -> 4.92x anchor with sub-block gating), 8
+    # when the table is a couple of chunks (padding waste dominates).
+    # PATHS_TPU_SPH_BLOCK_ROWS overrides at scene build for sweeps.
+    pallas_sph_block_rows: int = 8
     n_sph_big: int = 0
     # Select shading rows from small tables via one-hot MXU matmul instead
     # of HBM gathers (a TPU-only win; see integrator._take_rows).
