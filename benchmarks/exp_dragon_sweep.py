@@ -58,27 +58,35 @@ SCENES = {
 #   doom:   nbuf8 rows20 1.696 | rows31 1.442 | nbuf16 1.728 |
 #           ws=1 occl={0,1} 1.527 both (base 1.73; ws stays off)
 #   rep=0 @ nbuf8 rows20: dragon 0.974 (rep keeps winning)
-# -> production defaults since round 5: streamed rows=20, STREAM_NBUF=8.
-# Round 4 fine-tuned around that point (two full passes, reproducible to
-# <0.1%): rows=18 1.022 | rows=24 1.025 | block_rows=32 0.926 | occl-rep
-# 1.025 (neutral) | nbuf=12 1.031 both passes -> STREAM_NBUF default 12.
-# The config is at a measured local optimum; remaining dragon headroom is
-# the block-union amplification (see BASELINE.md round-5 section incl.
-# the recorded per-ray-group negative result).
+# Round 4 fine-tuned that point (reproducible <0.1%): rows=18 1.022 |
+# rows=24 1.025 | occl-rep neutral | nbuf=12 1.031 -> STREAM_NBUF 12.
+# Round 5's decisive change is SUB-BLOCK ROW-TEST GATING
+# (sorted_traverse._half_cond_enabled): per-(8,128)-sub-block conds keep
+# admission 1024-lane-granular at any block width, flipping the optimal
+# width to 64 -- dragon 1.031 -> 1.107 (br16+sub) -> 1.199 (br32) ->
+# 1.219x (br64; br128 1.202), doom 1.731 -> 1.897x (br64), and the
+# sphere kernels 4.66 -> 4.93x (stress-500, sph_br=64).  At wide blocks
+# the replicated table became ESSENTIAL (no-rep br64 0.836x: every
+# sub-block re-splats compact-slot scalars) and wave-sort still loses
+# (dragon 1.194, doom 1.82 vs 1.90 -- gate stays).  These are the
+# production defaults now; the configs below sweep AROUND them for the
+# next round.
 CONFIGS = [
-    ("base (rows=20 nbuf=8)", {}),
-    ("rows=18", {"PATHS_TPU_ROWS_PER_CHUNK": "18"}),
-    ("rows=24", {"PATHS_TPU_ROWS_PER_CHUNK": "24"}),
-    ("block_rows=32", {"PATHS_TPU_BLOCK_ROWS": "32"}),
-    ("occl-rep", {"PATHS_TPU_OCCL_REP": "1"}),
-    ("nbuf=12", {"PATHS_TPU_STREAM_NBUF": "12"}),
+    ("base (br=64 sub-cond rows=20 nbuf=12 rep)", {}),
+    ("br=32", {"PATHS_TPU_BLOCK_ROWS": "32"}),
+    ("br=128", {"PATHS_TPU_BLOCK_ROWS": "128"}),
+    ("no-sub-cond", {"PATHS_TPU_HALF_COND": "0",
+                     "PATHS_TPU_BLOCK_ROWS": "16"}),
+    ("rows=15", {"PATHS_TPU_ROWS_PER_CHUNK": "15"}),
+    ("ws=1", {"PATHS_TPU_WAVE_SORT": "1"}),
 ]
 
 _SWEEP_KEYS = [
     "PATHS_TPU_BLOCK_ROWS", "PATHS_TPU_TRI_REP", "PATHS_TPU_WAVE_SORT",
     "PATHS_TPU_OCCL_SORT", "PATHS_TPU_ROWS_PER_CHUNK",
     "PATHS_TPU_NO_CHUNK_COND", "PATHS_TPU_STREAM_NBUF",
-    "PATHS_TPU_OCCL_REP",
+    "PATHS_TPU_OCCL_REP", "PATHS_TPU_HALF_COND",
+    "PATHS_TPU_SPH_BLOCK_ROWS",
 ]
 
 

@@ -64,19 +64,19 @@ from paths_tpu.ops.pallas_traverse import (
     _tri_row_test_v2,
 )
 
-# Rows per chunk for the sorted kernels.  15 rows = 120 triangles = one
-# 7.5 KB DMA -- the per-row-AABB limit (meta cols 8..127).  Measured on TPU
-# v5e at the 400k-tri scale, 15 beats 8 on both coherent (120 vs 128 ms/wave)
-# and incoherent (864 vs 908 ms) waves: per-chunk fixed cost (meta read,
-# slab test, loop/cond machinery) amortises over more rows.
-ROWS_PER_CHUNK_SORTED = 15
+# Rows per chunk for the sorted kernels, RESIDENT tables.  At the
+# round-5 wide blocks + sub-block row-test gating, finer chunks pay on
+# resident meshes -- the per-chunk cull/cond granularity tightens while
+# the (VMEM-read) per-chunk fixed cost is small: rows=8 measured teapot
+# 4.05 -> 4.23x and doom 1.896 -> 1.923x anchor (doom rows=4: 1.801 --
+# past the optimum; the pre-sub-block rounds had measured 15 best).
+ROWS_PER_CHUNK_SORTED = 8
 
 # STREAMED meshes use coarser chunks: the round-5 dragon sweep
 # (benchmarks/exp_dragon_sweep.py, 2026-08-21) measured rows=20 at 1.025x
-# anchor vs 0.993x at 15 (rows=31: 1.018, rows=12: 0.980, rows=8: 0.926)
-# -- fewer, larger replicated-table DMAs amortise ring latency, while the
-# resident kernels (no DMA) keep 15's finer early exit (doom, resident:
-# rows=20 measured 740k vs 754k rays/s at 15).
+# anchor vs 0.993x at 15 (rows=31: 1.018, rows=12: 0.980, rows=8: 0.926;
+# re-checked at block_rows=64 + sub-block gating: rows=8 1.151 vs rows=20
+# 1.212) -- fewer, larger replicated-table DMAs amortise ring latency.
 ROWS_PER_CHUNK_STREAMED = 20
 
 # Streaming prefetch depth (ring buffer slots).  Default 12, measured
